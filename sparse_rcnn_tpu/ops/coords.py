@@ -1,0 +1,179 @@
+"""Coordinate machinery for sparse voxel tables.
+
+TPU-native replacement for the reference's native coordinate hash map
+(SURVEY.md C2: reference uses a C++ hash-map extension; unverifiable — the
+reference mount was empty, see SURVEY.md §0). Here, coordinate lookup is
+recast as XLA-friendly *sort + binary search* over packed integer keys:
+
+  * every (x, y, z) int32 coordinate is packed into a pair of int32 keys
+    (no int64 / x64 mode needed on TPU),
+  * the table is sorted lexicographically once per site-set via
+    ``lax.sort(num_keys=2)`` (runs on device, MXU-independent),
+  * point queries are answered by a vectorized branch-free binary search
+    (O(log M) gathers, fully unrolled at trace time — static shapes only).
+
+All functions are per-scene; batch via ``jax.vmap``. Invalid (padding) rows
+are represented by a sentinel key that sorts after every real key.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Coordinates must lie in [-COORD_OFFSET, COORD_OFFSET). 16 bits per axis
+# covers 65k voxels per axis — a 1.3 km scene at 2 cm voxels.
+COORD_BITS = 16
+COORD_OFFSET = 1 << (COORD_BITS - 1)
+# Sentinel key pair for invalid rows: sorts strictly after any real key
+# (real hi keys are < 2^16, so the hi sentinel alone is unambiguous).
+SENTINEL_HI = jnp.uint32(0xFFFFFFFF)
+SENTINEL_LO = jnp.uint32(0xFFFFFFFF)
+
+
+def pack_coords(coords: jax.Array, valid: jax.Array | None = None) -> Tuple[jax.Array, jax.Array]:
+    """Pack int32 coords [..., 3] into a lexicographic (hi, lo) uint32 key pair.
+
+    hi = x + 2^15                       (in [0, 2^16))
+    lo = (y + 2^15) * 2^16 + (z + 2^15) (uses the full 32 bits — hence uint32)
+
+    (hi, lo) pairwise unsigned comparison == lexicographic comparison of
+    (x, y, z). Rows where ``valid`` is False get the sentinel key pair
+    (sorts last; real entries always have hi < 2^16 != SENTINEL_HI).
+    """
+    x = (coords[..., 0] + COORD_OFFSET).astype(jnp.uint32)
+    y = (coords[..., 1] + COORD_OFFSET).astype(jnp.uint32)
+    z = (coords[..., 2] + COORD_OFFSET).astype(jnp.uint32)
+    hi = x
+    lo = (y << COORD_BITS) | z
+    if valid is not None:
+        hi = jnp.where(valid, hi, SENTINEL_HI)
+        lo = jnp.where(valid, lo, SENTINEL_LO)
+    return hi, lo
+
+
+def unpack_coords(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_coords` (undefined for sentinel keys)."""
+    x = hi.astype(jnp.int32) - COORD_OFFSET
+    y = (lo >> COORD_BITS).astype(jnp.int32) - COORD_OFFSET
+    z = (lo & jnp.uint32((1 << COORD_BITS) - 1)).astype(jnp.int32) - COORD_OFFSET
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def lexsort_keys(hi: jax.Array, lo: jax.Array, *extras: jax.Array):
+    """Sort (hi, lo) lexicographically, carrying ``extras`` along.
+
+    Returns (hi_sorted, lo_sorted, *extras_sorted). Stable.
+    """
+    out = lax.sort((hi, lo) + tuple(extras), num_keys=2, is_stable=True)
+    return out
+
+
+def lower_bound(hi: jax.Array, lo: jax.Array, qhi: jax.Array, qlo: jax.Array) -> jax.Array:
+    """Vectorized lexicographic lower_bound into a sorted (hi, lo) table.
+
+    ``hi, lo``: sorted int32 [M]. ``qhi, qlo``: queries, any shape.
+    Returns the insertion index in [0, M] for each query. Branch-free
+    binary search, unrolled ceil(log2(M+1)) times at trace time.
+    """
+    m = hi.shape[0]
+    nsteps = max(1, math.ceil(math.log2(m + 1)))
+    low = jnp.zeros(qhi.shape, jnp.int32)
+    high = jnp.full(qhi.shape, m, jnp.int32)
+    for _ in range(nsteps):
+        mid = (low + high) >> 1
+        mid_c = jnp.clip(mid, 0, m - 1)
+        thi = hi[mid_c]
+        tlo = lo[mid_c]
+        lt = (thi < qhi) | ((thi == qhi) & (tlo < qlo))
+        lt = lt & (mid < m)
+        low = jnp.where(lt, mid + 1, low)
+        high = jnp.where(lt, high, mid)
+    return low
+
+
+def table_lookup(hi: jax.Array, lo: jax.Array, qhi: jax.Array, qlo: jax.Array) -> jax.Array:
+    """Find each query key in the sorted table. Returns index or -1.
+
+    The returned index refers to the *sorted* table order.
+    """
+    m = hi.shape[0]
+    pos = lower_bound(hi, lo, qhi, qlo)
+    pos_c = jnp.clip(pos, 0, m - 1)
+    # Sentinel queries (invalid rows) must miss even though the table's own
+    # padding rows also hold sentinel keys.
+    found = (
+        (pos < m)
+        & (hi[pos_c] == qhi)
+        & (lo[pos_c] == qlo)
+        & (qhi != SENTINEL_HI)
+    )
+    return jnp.where(found, pos.astype(jnp.int32), -1)
+
+
+def unique_coords(
+    coords: jax.Array,
+    valid: jax.Array,
+    capacity: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Deduplicate coords [N, 3] into a sorted unique table of fixed capacity.
+
+    Returns ``(ucoords [capacity, 3], n_unique, inverse [N], overflow)``:
+      * ``ucoords``: sorted unique coordinates; rows >= n_unique hold junk
+        (callers must mask by ``arange(capacity) < n_unique``),
+      * ``inverse``: for each input row, the index of its unique coord in
+        ``ucoords`` (or -1 for invalid input rows / overflow victims),
+      * ``overflow``: int32 count of unique coords that did not fit.
+
+    The unique table keeps the *lexicographically smallest* ``capacity``
+    coords on overflow (deterministic drop policy — SURVEY.md §7 inv. 1).
+    """
+    n = coords.shape[0]
+    hi, lo = pack_coords(coords, valid)
+    order = jnp.arange(n, dtype=jnp.int32)
+    shi, slo, sorder = lexsort_keys(hi, lo, order)
+    is_valid_sorted = shi != SENTINEL_HI
+    prev_hi = jnp.concatenate([jnp.array([SENTINEL_HI], jnp.uint32), shi[:-1]])
+    prev_lo = jnp.concatenate([jnp.array([SENTINEL_LO], jnp.uint32), slo[:-1]])
+    is_new = ((shi != prev_hi) | (slo != prev_lo)) & is_valid_sorted
+    # rank of each sorted row's unique group
+    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # [N], -1 only if first row invalid
+    n_unique_total = jnp.where(jnp.any(is_new), rank[-1] + 1, 0).astype(jnp.int32)
+    n_unique = jnp.minimum(n_unique_total, capacity)
+    overflow = n_unique_total - n_unique
+
+    fits = (rank >= 0) & (rank < capacity) & is_valid_sorted
+    # scatter the first row of each unique group into the table
+    dst = jnp.where(is_new & fits, rank, capacity)  # capacity row = dropped
+    uhi = jnp.full((capacity + 1,), SENTINEL_HI, jnp.uint32).at[dst].set(shi, mode="drop")[:capacity]
+    ulo = jnp.full((capacity + 1,), SENTINEL_LO, jnp.uint32).at[dst].set(slo, mode="drop")[:capacity]
+    ucoords = unpack_coords(uhi, ulo)
+
+    # inverse map back to original input order
+    inv_sorted = jnp.where(fits, rank, -1)
+    inverse = jnp.full((n,), -1, jnp.int32).at[sorder].set(inv_sorted)
+    return ucoords, n_unique, inverse, overflow
+
+
+def kernel_offsets(kernel_size, centered: bool = True) -> jnp.ndarray:
+    """Enumerate the K = kx*ky*kz integer offsets of a conv kernel.
+
+    ``centered=True`` gives offsets in [-(k//2), k - k//2) per axis (odd k →
+    symmetric around 0: the submanifold convention). ``centered=False``
+    gives [0, k) (the non-overlapping downsample convention, k == stride).
+    Returns a *static numpy-backed* int32 array [K, 3] (trace-time constant).
+    """
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size,) * 3
+    axes = []
+    for k in kernel_size:
+        if centered:
+            axes.append(range(-(k // 2), k - k // 2))
+        else:
+            axes.append(range(k))
+    offs = [(dx, dy, dz) for dx in axes[0] for dy in axes[1] for dz in axes[2]]
+    return jnp.array(offs, dtype=jnp.int32)

@@ -1,0 +1,146 @@
+"""Rulebook construction as sort/segment/search ops (no pointer-chasing).
+
+The reference builds rulebooks — per-kernel-offset lists of (input row,
+output row) pairs — with a native C++ hash map (SURVEY.md C3/N2; tree empty
+at survey, §0). The TPU-native recast (BASELINE north-star) uses the sorted
+coordinate table from :mod:`sparse_rcnn_tpu.ops.coords`:
+
+  * **Dense gather form.** Instead of pair lists, a rulebook here is
+    ``neighbor_idx int32[K, M_out]``: for output row ``i`` and kernel offset
+    ``k``, the input-table row that contributes (or -1). This turns every
+    sparse conv into K gathers + K MXU matmuls with *no scatter in the
+    forward pass* — gathers and matmuls are what the TPU is good at, and
+    per-``k`` the map is injective, so the backward pass is again a gather
+    with the transposed rulebook.
+  * Lookups are binary search into the lexicographically sorted table
+    (one sort amortized per site set — it is maintained by SparseTensor).
+
+Three rulebook flavors cover the UNet (SURVEY.md C5–C7):
+  * submanifold (stride 1, odd kernel, output sites == input sites),
+  * strided downsample (kernel == stride, new coarser site set),
+  * inverse/upsample (restores a cached finer site set).
+
+All functions are per-scene (vmap over the batch axis upstream).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import coords as coord_ops
+
+
+def _sorted_keys(coords: jax.Array, nvalid: jax.Array):
+    m = coords.shape[0]
+    mask = jnp.arange(m, dtype=jnp.int32) < nvalid
+    return coord_ops.pack_coords(coords, mask), mask
+
+
+def submanifold_rulebook(
+    coords: jax.Array, nvalid: jax.Array, kernel_size
+) -> jax.Array:
+    """neighbor_idx int32[K, M] for a submanifold conv on a sorted site set.
+
+    ``idx[k, i]`` = row of ``coords[i] - offset_k`` (the input voxel whose
+    contribution lands on output ``i`` through kernel tap ``k``), or -1.
+    Offsets are centered (odd kernel). Output sites == input sites.
+    """
+    (hi, lo), mask = _sorted_keys(coords, nvalid)
+    offsets = coord_ops.kernel_offsets(kernel_size, centered=True)
+
+    def one_offset(off):
+        q = coords - off[None, :]
+        qhi, qlo = coord_ops.pack_coords(q, mask)
+        return coord_ops.table_lookup(hi, lo, qhi, qlo)
+
+    return jax.vmap(one_offset)(offsets)
+
+
+def downsample_sites(
+    coords: jax.Array, nvalid: jax.Array, stride: int, capacity: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Generate the coarser site set for a strided conv (kernel == stride).
+
+    Returns (out_coords int32[capacity, 3] sorted, n_out, overflow).
+    Coarse coordinate = floor_divide(fine, stride) — matches the reference's
+    output-site generation for non-overlapping downsampling (SURVEY.md §3.5).
+    """
+    m = coords.shape[0]
+    mask = jnp.arange(m, dtype=jnp.int32) < nvalid
+    coarse = jnp.where(mask[:, None], coords // stride, coord_ops.COORD_OFFSET - 1)
+    ucoords, n_out, _, overflow = coord_ops.unique_coords(coarse, mask, capacity)
+    return ucoords, n_out, overflow
+
+
+def strided_rulebook(
+    in_coords: jax.Array,
+    in_nvalid: jax.Array,
+    out_coords: jax.Array,
+    out_nvalid: jax.Array,
+    stride: int,
+) -> jax.Array:
+    """neighbor_idx int32[K, M_out] for a k==s downsampling conv.
+
+    For coarse output row ``o`` and offset δ ∈ [0, s)³:
+    ``idx[k, o]`` = row of fine coord ``out_coords[o] * s + δ``, or -1.
+    """
+    (hi, lo), in_mask = _sorted_keys(in_coords, in_nvalid)
+    m_out = out_coords.shape[0]
+    out_mask = jnp.arange(m_out, dtype=jnp.int32) < out_nvalid
+    offsets = coord_ops.kernel_offsets(stride, centered=False)
+
+    def one_offset(off):
+        q = out_coords * stride + off[None, :]
+        qhi, qlo = coord_ops.pack_coords(q, out_mask)
+        return coord_ops.table_lookup(hi, lo, qhi, qlo)
+
+    return jax.vmap(one_offset)(offsets)
+
+
+def inverse_rulebook(
+    coarse_coords: jax.Array,
+    coarse_nvalid: jax.Array,
+    fine_coords: jax.Array,
+    fine_nvalid: jax.Array,
+    stride: int,
+) -> jax.Array:
+    """neighbor_idx int32[K, M_fine] for a k==s upsampling (inverse) conv.
+
+    Each fine site has exactly one parent coarse site and one child offset
+    δ = fine - s * floor(fine / s); ``idx[k, i]`` = parent row if δ matches
+    offset ``k`` else -1. The same gather-matmul executor thus serves the
+    inverse conv (rows select their weight tap via the rulebook).
+    """
+    (hi, lo), _ = _sorted_keys(coarse_coords, coarse_nvalid)
+    m_fine = fine_coords.shape[0]
+    fine_mask = jnp.arange(m_fine, dtype=jnp.int32) < fine_nvalid
+    parent = jnp.where(fine_mask[:, None], fine_coords // stride, coord_ops.COORD_OFFSET - 1)
+    child = fine_coords - parent * stride  # [M_fine, 3] in [0, s)
+    phi, plo = coord_ops.pack_coords(parent, fine_mask)
+    parent_row = coord_ops.table_lookup(hi, lo, phi, plo)  # [M_fine]
+    offsets = coord_ops.kernel_offsets(stride, centered=False)
+
+    def one_offset(off):
+        match = jnp.all(child == off[None, :], axis=-1) & fine_mask
+        return jnp.where(match, parent_row, -1)
+
+    return jax.vmap(one_offset)(offsets)
+
+
+def transpose_rulebook(idx: jax.Array, m_in: int) -> jax.Array:
+    """Invert a rulebook: t_idx[k, j] = i where idx[k, i] == j, else -1.
+
+    Valid because each per-offset map is injective. Used by the custom VJP
+    so the backward pass is gathers too (SURVEY.md §7 invariant 4).
+    """
+    k, m_out = idx.shape
+    src = jnp.broadcast_to(jnp.arange(m_out, dtype=jnp.int32)[None, :], (k, m_out))
+    dst = jnp.where(idx >= 0, idx, m_in)  # -1 -> dropped scratch row
+
+    def one(d, s):
+        return jnp.full((m_in + 1,), -1, jnp.int32).at[d].set(s, mode="drop")[:m_in]
+
+    return jax.vmap(one)(dst, src)

@@ -1,0 +1,102 @@
+"""Sparse convolution executor: per-offset gather → MXU matmul → accumulate.
+
+The reference executes sparse conv as native gather-GEMM-scatter with a
+custom autograd backward (SURVEY.md C4/N3; reference tree empty at survey,
+§0). TPU-native recast (BASELINE north-star): with the dense gather-form
+rulebook (``neighbor_idx[K, M_out]``, see :mod:`.rulebook`) the forward pass
+needs **no scatter at all** — for each kernel tap ``k``:
+
+    out += (feats[idx[k]] masked) @ W[k]
+
+which is exactly a blocked gather feeding the 128x128 MXU. The backward
+pass reuses the *transposed* rulebook so grads w.r.t. the input features are
+also pure gathers (scatter-free, deterministic):
+
+    d_feats[j] = sum_k g[t_idx[k, j]] @ W[k]^T
+    d_W[k]     = (feats[idx[k]] masked)^T @ g
+
+Two implementations:
+  * :func:`gather_matmul_conv` — straight-line XLA (lax.scan over taps);
+    differentiable by autodiff (scatter-add backward). The parity oracle.
+  * :func:`sparse_conv` — custom-VJP wrapper whose backward is the
+    gather-form above (SURVEY.md §7 invariant 4). The default.
+
+A fused Pallas kernel lives in :mod:`.pallas_conv`; both must stay
+numerically interchangeable (tests/parity).
+
+Shapes: feats [B, M_in, Cin], idx int32[B, K, M_out], weights [K, Cin, Cout]
+→ out [B, M_out, Cout]. Accumulation is float32 regardless of input dtype.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import rulebook as rb
+
+
+def _gather_rows(feats: jax.Array, idx: jax.Array) -> jax.Array:
+    """feats [M, C], idx int32[N] (-1 = missing) → [N, C] with zeros for -1."""
+    safe = jnp.clip(idx, 0, feats.shape[0] - 1)
+    g = feats[safe]
+    return g * (idx >= 0)[:, None].astype(g.dtype)
+
+
+def gather_matmul_conv(
+    feats: jax.Array, idx: jax.Array, weights: jax.Array
+) -> jax.Array:
+    """Reference XLA executor (autodiff-able end to end)."""
+    out_dtype = jnp.promote_types(feats.dtype, weights.dtype)
+
+    def per_scene(f, ix):
+        m_out = ix.shape[1]
+        init = jnp.zeros((m_out, weights.shape[-1]), jnp.float32)
+
+        def step(acc, kw):
+            ix_k, w_k = kw
+            g = _gather_rows(f, ix_k)
+            return acc + jnp.dot(g, w_k, preferred_element_type=jnp.float32), None
+
+        acc, _ = lax.scan(step, init, (ix, weights))
+        return acc
+
+    out = jax.vmap(per_scene)(feats, idx)
+    return out.astype(out_dtype)
+
+
+@jax.custom_vjp
+def sparse_conv(feats: jax.Array, idx: jax.Array, weights: jax.Array) -> jax.Array:
+    """Sparse conv with gather-form (scatter-free) backward. Default executor."""
+    return gather_matmul_conv(feats, idx, weights)
+
+
+def _fwd(feats, idx, weights):
+    return gather_matmul_conv(feats, idx, weights), (feats, idx, weights)
+
+
+def _bwd(res, g):
+    feats, idx, weights = res
+    m_in = feats.shape[1]
+    g = g.astype(jnp.float32)
+
+    # d_W[k] = sum_b gathered_bk^T @ g_b  — scan over taps, batched matmul.
+    def dw_scene(f, ix, gb):
+        def step(_, ix_k):
+            return None, _gather_rows(f, ix_k).astype(jnp.float32)
+        _, gathered = lax.scan(step, None, ix)  # [K, M_out, Cin]
+        return jnp.einsum(
+            "kmc,md->kcd", gathered, gb, preferred_element_type=jnp.float32
+        )
+
+    d_w = jax.vmap(dw_scene)(feats, idx, g).sum(axis=0)
+
+    # d_feats via transposed rulebook: pure gather, no scatter.
+    t_idx = jax.vmap(lambda ix: rb.transpose_rulebook(ix, m_in))(idx)
+    w_t = jnp.swapaxes(weights, -1, -2)  # [K, Cout, Cin]
+    d_f = gather_matmul_conv(g, t_idx, w_t.astype(jnp.float32))
+    return d_f.astype(feats.dtype), None, d_w.astype(weights.dtype)
+
+
+sparse_conv.defvjp(_fwd, _bwd)
