@@ -1,0 +1,150 @@
+"""Typed dataclass configs with YAML overrides (SURVEY.md C23/§5).
+
+Every BASELINE config (1–5) is checked in under ``configs/`` as a YAML
+overlay on these defaults. All capacity/budget fields here become *static*
+shapes on device (SURVEY.md §7 invariant 1), so a config fully determines
+the compiled program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic"            # synthetic | scannet | s3dis | semantic_kitti
+    data_root: str = ""
+    voxel_size: Tuple[float, float, float] = (0.05, 0.05, 0.05)
+    num_points: int = 16384               # point capacity per scene (padded)
+    voxel_capacity: int = 8192            # M_cap at stride 1
+    num_features: int = 3                 # input feature channels (e.g. RGB)
+    batch_size: int = 2
+    # augmentation
+    augment: bool = True
+    rotate_z: bool = True
+    flip: bool = True
+    scale_range: Tuple[float, float] = (0.9, 1.1)
+    jitter_sigma: float = 0.0
+    color_jitter: float = 0.05
+    elastic_distortion: bool = False
+    num_workers: int = 2
+    prefetch: int = 2
+
+
+@dataclass(frozen=True)
+class BackboneConfig:
+    widths: Tuple[int, ...] = (16, 32, 48, 64)   # channels per scale
+    blocks_per_scale: int = 1                    # residual blocks per scale
+    kernel_size: int = 3
+    dtype: str = "float32"                       # compute dtype: float32 | bfloat16
+    # voxel capacity per scale; scale s defaults to voxel_capacity >> s
+    capacities: Optional[Tuple[int, ...]] = None
+
+
+@dataclass(frozen=True)
+class RPNConfig:
+    hidden: int = 64
+    num_proposals: int = 64               # P: static proposal budget after NMS
+    pre_nms_topk: int = 256
+    nms_iou_threshold: float = 0.35
+    score_threshold: float = 0.1
+    # box regression targets are (center offset, log size), normalized by
+    # this many voxels at the RPN scale
+    box_norm: float = 8.0
+    rpn_scale: int = 0                    # decoder scale the RPN reads (0 = finest)
+
+
+@dataclass(frozen=True)
+class RoIConfig:
+    grid_size: int = 7                    # D: RoI crop is D^3 samples
+    expand: float = 1.2                   # box expansion before cropping
+    hidden: int = 128
+    mask_grid: int = 14                   # mask head output grid per RoI
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    backbone: BackboneConfig = field(default_factory=BackboneConfig)
+    rpn: RPNConfig = field(default_factory=RPNConfig)
+    roi: RoIConfig = field(default_factory=RoIConfig)
+    num_classes: int = 18                 # ScanNet benchmark instance classes
+    max_instances: int = 32               # GT instance capacity per scene
+    use_semantic_head: bool = True        # auxiliary per-voxel semantic branch
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    warmup_steps: int = 100
+    total_steps: int = 10000
+    optimizer: str = "adamw"              # adamw | sgd
+    grad_clip: float = 10.0
+    seed: int = 0
+    log_every: int = 10
+    eval_every: int = 500
+    checkpoint_every: int = 500
+    checkpoint_dir: str = "checkpoints"
+    keep_checkpoints: int = 3
+    loss_weights: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    # (rpn_objectness, rpn_box, roi_cls, roi_mask)
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    data_axis: str = "data"
+    num_devices: int = 0                  # 0 = all visible devices
+
+
+@dataclass(frozen=True)
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    name: str = "default"
+
+    def scale_capacities(self) -> Tuple[int, ...]:
+        caps = self.model.backbone.capacities
+        if caps is not None:
+            return tuple(caps)
+        base = self.data.voxel_capacity
+        return tuple(
+            max(base >> s, 64) for s in range(len(self.model.backbone.widths))
+        )
+
+
+def _update(dc, overrides: dict):
+    """Recursively apply a nested dict of overrides to a (frozen) dataclass."""
+    kwargs = {}
+    for f in dataclasses.fields(dc):
+        if f.name not in overrides:
+            continue
+        v = overrides[f.name]
+        cur = getattr(dc, f.name)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            kwargs[f.name] = _update(cur, v)
+        elif isinstance(cur, tuple) and isinstance(v, (list, tuple)):
+            kwargs[f.name] = tuple(v)
+        else:
+            kwargs[f.name] = v
+    unknown = set(overrides) - {f.name for f in dataclasses.fields(dc)}
+    if unknown:
+        raise ValueError(f"Unknown config keys for {type(dc).__name__}: {sorted(unknown)}")
+    return dataclasses.replace(dc, **kwargs)
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) -> Config:
+    """Build a Config from defaults + optional YAML file + optional dict."""
+    cfg = Config()
+    if path:
+        import yaml
+
+        with open(path) as f:
+            cfg = _update(cfg, yaml.safe_load(f) or {})
+    if overrides:
+        cfg = _update(cfg, overrides)
+    return cfg

@@ -1,0 +1,96 @@
+"""Multi-scale site-set hierarchy: coords + rulebooks for a sparse UNet.
+
+The reference caches rulebooks in a coordinate manager keyed by (site set,
+kernel, stride) (SURVEY.md §3.3; tree empty at survey, §0). Here the whole
+hierarchy is built *once per forward pass* as a pure function of the input
+site set — coords never change during a forward/backward, so every layer on
+the same scale shares these tables. Keeping rulebook construction out of
+the parameterized model also keeps linen modules shape-only.
+
+Gradients do not flow through rulebooks (integer tables); everything is
+``vmap``-ed over the batch axis.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from . import rulebook as rb
+from ..sparse import SparseTensor
+
+
+@struct.dataclass
+class ScaleSet:
+    """Site set + rulebooks at one scale of the hierarchy.
+
+    coords:   int32[B, M_s, 3] (sorted per scene, sentinel padding)
+    nvalid:   int32[B]
+    subm_idx: int32[B, K, M_s] submanifold rulebook at this scale
+    down_idx: int32[B, 8, M_{s+1}] strided rulebook into the next-coarser
+              scale (None at the coarsest scale)
+    up_idx:   int32[B, 8, M_s] inverse rulebook from the next-coarser scale
+              back to this one (None at the coarsest scale)
+    """
+
+    coords: jax.Array
+    nvalid: jax.Array
+    subm_idx: jax.Array
+    down_idx: Optional[jax.Array] = None
+    up_idx: Optional[jax.Array] = None
+
+
+def build_hierarchy(
+    st: SparseTensor,
+    num_scales: int,
+    capacities,
+    kernel_size: int = 3,
+):
+    """Build all site sets and rulebooks for a ``num_scales``-deep UNet.
+
+    Args:
+      st: input SparseTensor (stride-1 site set, sorted).
+      num_scales: number of scales (>= 1).
+      capacities: per-scale row capacities, len == num_scales.
+      kernel_size: submanifold kernel (odd).
+
+    Returns:
+      (scales: List[ScaleSet], overflow: int32[B, num_scales-1] dropped
+       coarse sites per downsample step).
+    """
+    assert len(capacities) >= num_scales
+    coords, nvalid = st.coords, st.nvalid
+    scales: List[ScaleSet] = []
+    overflows = []
+    for s in range(num_scales):
+        subm = jax.vmap(lambda c, n: rb.submanifold_rulebook(c, n, kernel_size))(
+            coords, nvalid
+        )
+        if s < num_scales - 1:
+            cap_next = capacities[s + 1]
+            oc, on, ovf = jax.vmap(
+                lambda c, n: rb.downsample_sites(c, n, 2, cap_next)
+            )(coords, nvalid)
+            down = jax.vmap(lambda c, n, o, m: rb.strided_rulebook(c, n, o, m, 2))(
+                coords, nvalid, oc, on
+            )
+            up = jax.vmap(lambda o, m, c, n: rb.inverse_rulebook(o, m, c, n, 2))(
+                oc, on, coords, nvalid
+            )
+            overflows.append(ovf)
+            scales.append(
+                ScaleSet(coords=coords, nvalid=nvalid, subm_idx=subm,
+                         down_idx=down, up_idx=up)
+            )
+            coords, nvalid = oc, on
+        else:
+            scales.append(ScaleSet(coords=coords, nvalid=nvalid, subm_idx=subm))
+    overflow = (
+        jnp.stack(overflows, axis=-1)
+        if overflows
+        else jnp.zeros((st.batch_size, 0), jnp.int32)
+    )
+    return scales, overflow
