@@ -1,0 +1,84 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Workload: BASELINE config 1 shape (single ScanNet-like synthetic scene,
+5 cm voxels, tiny sparse UNet + heads). TPU numerator: the framework's
+fully-jitted eval step (voxelize → backbone → RPN → RoI → masks — a
+superset of the twin's work). CPU denominator: the pure-PyTorch-CPU
+reference twin (`benchmarks/torch_cpu_ref.py`) re-measured each run —
+a substitute for the reference repo, whose mount is empty (SURVEY.md §0);
+flagged via "baseline" field.
+"""
+
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparse_rcnn_tpu.config import load_config
+    from sparse_rcnn_tpu.data import synthetic
+    from sparse_rcnn_tpu.train import loop as TL
+
+    num_points = 32768
+    voxel_size = 0.05
+    cfg = load_config(overrides={
+        "data": {"num_points": num_points, "voxel_capacity": 32768,
+                  "batch_size": 1, "voxel_size": [voxel_size] * 3},
+        "model": {
+            "backbone": {"widths": [16, 32], "blocks_per_scale": 1},
+            "rpn": {"hidden": 32, "num_proposals": 32, "pre_nms_topk": 128},
+            "roi": {"grid_size": 7, "hidden": 32, "mask_grid": 14},
+            "num_classes": 6, "max_instances": 16,
+        },
+    })
+
+    scenes = [
+        synthetic.generate_scene(100 + i, num_points=num_points,
+                                 num_instances=8, num_classes=6)
+        for i in range(2)
+    ]
+    batch = {k: jnp.asarray(v[None]) for k, v in scenes[0].items()}
+
+    state = TL.init_state(cfg, batch)
+    step = TL.make_eval_step(cfg)
+
+    # warmup / compile
+    out = step(state, batch)
+    jax.block_until_ready(out)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(state, batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    tpu_sps = iters * cfg.data.batch_size / dt
+
+    # CPU reference twin (substitute baseline — reference mount empty)
+    sys.path.insert(0, "benchmarks")
+    from torch_cpu_ref import measure_scenes_per_sec
+
+    cpu_sps, cpu_info = measure_scenes_per_sec(
+        scenes, voxel_size=voxel_size, widths=(16, 32), num_classes=6,
+    )
+
+    print(json.dumps({
+        "metric": "config1_scenes_per_sec_5cm_tiny_unet",
+        "value": round(tpu_sps, 3),
+        "unit": "scenes/sec/chip",
+        "vs_baseline": round(tpu_sps / cpu_sps, 2),
+        "baseline": {
+            "kind": "torch_cpu_twin (reference mount empty; substitute)",
+            "scenes_per_sec": round(cpu_sps, 3),
+            "mean_voxels": round(cpu_info["mean_voxels"]),
+        },
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

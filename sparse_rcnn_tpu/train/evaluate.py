@@ -1,0 +1,61 @@
+"""Validation driver: run the eval split, compute instance mAP on points
+(SURVEY.md §3.2 — predictions are devoxelized to points before scoring)."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..utils.metrics import InstanceAPEvaluator
+from . import loop as TL
+
+
+def postprocess_scene(
+    out: Dict[str, np.ndarray], b: int, num_classes: int,
+    mask_threshold: float = 0.5,
+):
+    """Per-scene predictions for the evaluator from eval_step outputs."""
+    pmask = np.asarray(out["proposal_mask"][b])
+    cls_logits = np.asarray(out["cls_logits"][b])
+    cls_prob = np.exp(cls_logits - cls_logits.max(-1, keepdims=True))
+    cls_prob = cls_prob / cls_prob.sum(-1, keepdims=True)
+    fg_prob = cls_prob[:, :num_classes]
+    pred_cls = fg_prob.argmax(-1)
+    obj = 1 / (1 + np.exp(-np.asarray(out["proposal_scores"][b])))
+    scores = fg_prob.max(-1) * obj
+    point_logits = np.asarray(out["point_mask_logits"][b])  # [P, N]
+    masks = point_logits > np.log(mask_threshold / (1 - mask_threshold))
+    return masks, scores, pred_cls, pmask
+
+
+def run_eval(
+    cfg: Config,
+    state,
+    loader,
+    max_batches: Optional[int] = None,
+    eval_step=None,
+) -> Dict[str, float]:
+    ev = InstanceAPEvaluator(cfg.model.num_classes)
+    step = eval_step or TL.make_eval_step(cfg)
+    seen = 0
+    for bi, batch in enumerate(loader):
+        if max_batches is not None and bi >= max_batches:
+            break
+        out = step(state, batch)
+        out = jax.device_get(out)
+        gt = out["gt"]
+        for b in range(cfg.data.batch_size):
+            masks, scores, pred_cls, pmask = postprocess_scene(
+                out, b, cfg.model.num_classes
+            )
+            point_valid = np.asarray(batch["valid"][b])
+            pinst = np.asarray(batch["point_instance"][b])
+            gt_cls = np.asarray(gt.classes[b])
+            ev.add_scene(masks, scores, pred_cls, pmask, pinst, gt_cls, point_valid)
+            seen += 1
+    res = ev.compute()
+    res["scenes"] = seen
+    return res

@@ -1,0 +1,182 @@
+"""Training step + loop (SURVEY.md C20, L5).
+
+One fully-jitted ``train_step`` does everything after host data loading:
+device voxelization → hierarchy build → GT construction → forward →
+losses → grads → optax update (+ batch-stats update). Under GSPMD the same
+step runs unchanged on a device mesh with the batch sharded over the
+``data`` axis — gradient all-reduce is inserted by XLA (SURVEY.md §2
+parallelism table: DP first-class, everything else N/A).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import core, struct
+
+from ..config import Config
+from ..data.gt import build_scene_gt
+from ..models import SparseRCNN, rpn_targets, roi_targets
+from ..models import losses as L
+from ..ops import hierarchy as H
+from ..ops import voxelize as V
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: core.FrozenDict
+    batch_stats: core.FrozenDict
+    opt_state: Any
+    rng: jax.Array
+
+
+def make_schedule(cfg: Config):
+    warmup = min(cfg.train.warmup_steps, max(cfg.train.total_steps // 10, 0))
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.train.lr,
+        warmup_steps=warmup,
+        decay_steps=max(cfg.train.total_steps, warmup + 1),
+        end_value=cfg.train.lr * 0.01,
+    )
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    sched = make_schedule(cfg)
+    if cfg.train.optimizer == "sgd":
+        opt = optax.sgd(sched, momentum=0.9)
+    else:
+        opt = optax.adamw(sched, weight_decay=cfg.train.weight_decay)
+    return optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip), opt)
+
+
+def build_model(cfg: Config) -> SparseRCNN:
+    dtype = jnp.bfloat16 if cfg.model.backbone.dtype == "bfloat16" else jnp.float32
+    return SparseRCNN(cfg.model, dtype=dtype)
+
+
+def prepare_inputs(cfg: Config, batch: Dict[str, jax.Array]):
+    """Device-side front half: voxelize + hierarchy + GT. Pure, jit-safe."""
+    vs = jnp.asarray(cfg.data.voxel_size)
+    st, p2v, ovf = V.voxelize_batch(
+        batch["points"], batch["feats"], batch["valid"], vs,
+        cfg.data.voxel_capacity,
+    )
+    scales, hovf = H.build_hierarchy(
+        st, len(cfg.model.backbone.widths), cfg.scale_capacities(),
+        cfg.model.backbone.kernel_size,
+    )
+    gt = build_scene_gt(
+        batch["points"], batch["valid"], batch["point_instance"],
+        batch["point_semantic"], p2v, cfg.data.voxel_capacity, vs,
+        cfg.model.max_instances,
+    )
+    return st, p2v, scales, gt
+
+
+def compute_losses(cfg: Config, out, scales, gt, row_mask):
+    rt = rpn_targets(
+        scales[cfg.model.rpn.rpn_scale].coords, out["rpn_mask"], gt,
+        cfg.model.rpn.box_norm, 1 << cfg.model.rpn.rpn_scale,
+    )
+    obj_l, box_l = L.rpn_loss(out["rpn_obj"], out["rpn_deltas"], rt)
+    tt = roi_targets(
+        out["crop_boxes"], out["proposal_mask"], scales[0].coords,
+        scales[0].nvalid, gt, cfg.model, cfg.model.roi.mask_grid,
+    )
+    parts = {
+        "rpn_obj": obj_l,
+        "rpn_box": box_l,
+        "roi_cls": L.roi_cls_loss(out["cls_logits"], tt),
+        "roi_mask": L.roi_mask_loss(out["mask_logits"], tt),
+    }
+    if cfg.model.use_semantic_head:
+        parts["semantic"] = L.semantic_loss(
+            out["semantic_logits"], gt.voxel_semantic, row_mask,
+            cfg.model.num_classes,
+        )
+    return L.total_loss(parts, cfg.train.loss_weights), parts
+
+
+def init_state(cfg: Config, sample_batch: Dict[str, jax.Array]) -> TrainState:
+    model = build_model(cfg)
+    st, _, scales, _ = prepare_inputs(cfg, sample_batch)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    rng, init_rng = jax.random.split(rng)
+    variables = model.init(init_rng, st.feats, scales, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", core.FrozenDict())
+    opt_state = make_optimizer(cfg).init(params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats=batch_stats, opt_state=opt_state, rng=rng,
+    )
+
+
+def train_step(
+    cfg: Config, state: TrainState, batch: Dict[str, jax.Array]
+) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """One optimization step. Wrap in jax.jit(static_argnums=0) or use
+    :func:`make_train_step`."""
+    model = build_model(cfg)
+    st, _, scales, gt = prepare_inputs(cfg, batch)
+
+    def loss_fn(params):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            st.feats, scales, train=True, mutable=["batch_stats"],
+        )
+        total, parts = compute_losses(cfg, out, scales, gt, st.row_mask)
+        return total, (parts, updates["batch_stats"])
+
+    (total, (parts, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    updates, new_opt = make_optimizer(cfg).update(
+        grads, state.opt_state, state.params
+    )
+    new_params = optax.apply_updates(state.params, updates)
+    metrics = dict(parts)
+    metrics["total"] = total
+    metrics["grad_norm"] = optax.global_norm(grads)
+    new_state = state.replace(
+        step=state.step + 1, params=new_params,
+        batch_stats=new_stats, opt_state=new_opt,
+    )
+    return new_state, metrics
+
+
+def make_train_step(cfg: Config):
+    return jax.jit(functools.partial(train_step, cfg), donate_argnums=(0,))
+
+
+def eval_step(cfg: Config, state: TrainState, batch: Dict[str, jax.Array]):
+    """Inference forward: returns model outputs + painted voxel masks + p2v."""
+    from ..models import paint_instance_masks
+
+    model = build_model(cfg)
+    st, p2v, scales, gt = prepare_inputs(cfg, batch)
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        st.feats, scales, train=False,
+    )
+    vox_logits, _ = paint_instance_masks(out, scales)
+    point_logits = V.devoxelize(
+        jnp.swapaxes(vox_logits, 1, 2), p2v, fill_value=-1e9
+    )  # [B, N, P]
+    return {
+        "proposal_scores": out["proposal_scores"],
+        "proposal_mask": out["proposal_mask"],
+        "cls_logits": out["cls_logits"],
+        "point_mask_logits": jnp.swapaxes(point_logits, 1, 2),  # [B, P, N]
+        "gt": gt,
+    }
+
+
+def make_eval_step(cfg: Config):
+    return jax.jit(functools.partial(eval_step, cfg))

@@ -1,0 +1,87 @@
+"""End-to-end training smoke, determinism, and checkpoint-resume tests
+(SURVEY.md §4: integration + determinism)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sparse_rcnn_tpu.config import load_config
+from sparse_rcnn_tpu.data import synthetic
+from sparse_rcnn_tpu.train import loop as TL
+from sparse_rcnn_tpu.train import checkpoint as CK
+
+
+@pytest.fixture(scope="module")
+def cfg(tmp_path_factory):
+    return load_config(overrides={
+        "data": {"num_points": 1024, "voxel_capacity": 512, "batch_size": 2,
+                  "voxel_size": [0.15, 0.15, 0.15]},
+        "model": {
+            "backbone": {"widths": [8, 16], "blocks_per_scale": 1},
+            "rpn": {"hidden": 16, "num_proposals": 8, "pre_nms_topk": 32},
+            "roi": {"grid_size": 4, "hidden": 16, "mask_grid": 8},
+            "num_classes": 4, "max_instances": 8,
+        },
+        "train": {"lr": 3e-3, "warmup_steps": 2, "total_steps": 50},
+    })
+
+
+@pytest.fixture(scope="module")
+def batch(cfg):
+    b = synthetic.generate_batch(3, cfg.data.batch_size,
+                                 num_points=cfg.data.num_points,
+                                 num_instances=3,
+                                 num_classes=cfg.model.num_classes)
+    return {k: jnp.asarray(v) for k, v in b.items()}
+
+
+def test_overfit_single_batch(cfg, batch):
+    state = TL.init_state(cfg, batch)
+    step = TL.make_train_step(cfg)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["total"]))
+    assert all(np.isfinite(losses))
+    # overfitting one batch must reduce the loss
+    assert losses[-1] < losses[0], losses
+
+
+def test_determinism_same_seed(cfg, batch):
+    step = TL.make_train_step(cfg)
+    s1 = TL.init_state(cfg, batch)
+    s2 = TL.init_state(cfg, batch)
+    for _ in range(2):
+        s1, m1 = step(s1, batch)
+        s2, m2 = step(s2, batch)
+    assert float(m1["total"]) == float(m2["total"])
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_roundtrip(cfg, batch, tmp_path):
+    state = TL.init_state(cfg, batch)
+    step = TL.make_train_step(cfg)
+    state, _ = step(state, batch)
+    mgr = CK.make_manager(str(tmp_path / "ckpt"), keep=2)
+    CK.save(mgr, state)
+    mgr.wait_until_finished()
+    template = jax.tree_util.tree_map(np.zeros_like, TL.init_state(cfg, batch))
+    restored = CK.restore(mgr, template)
+    assert restored is not None
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_step_outputs(cfg, batch):
+    state = TL.init_state(cfg, batch)
+    estep = TL.make_eval_step(cfg)
+    out = estep(state, batch)
+    p = cfg.model.rpn.num_proposals
+    n = cfg.data.num_points
+    assert out["point_mask_logits"].shape == (2, p, n)
+    assert np.isfinite(np.asarray(out["cls_logits"])).all()

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Training CLI (SURVEY.md L6).
+
+    python train.py --config configs/config1_tiny.yaml
+    python train.py --set train.total_steps=100 --set data.dataset=synthetic
+"""
+
+import argparse
+import ast
+
+import jax
+
+
+def parse_overrides(pairs):
+    out = {}
+    for pair in pairs or []:
+        key, _, val = pair.partition("=")
+        try:
+            val = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            pass
+        node = out
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--set", action="append", dest="overrides",
+                    metavar="key.path=value")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--profile", action="store_true")
+    ap.add_argument("--log-file", default=None)
+    args = ap.parse_args()
+
+    from sparse_rcnn_tpu.config import load_config
+    from sparse_rcnn_tpu.data.pipeline import Loader
+    from sparse_rcnn_tpu.parallel import (
+        batch_sharding, make_mesh, make_parallel_train_step, replicate_state,
+    )
+    from sparse_rcnn_tpu.train import checkpoint as CK
+    from sparse_rcnn_tpu.train import loop as TL
+    from sparse_rcnn_tpu.train.evaluate import run_eval
+    from sparse_rcnn_tpu.utils.logging import JsonlLogger
+    from sparse_rcnn_tpu.utils.profiling import StepTimer, maybe_trace
+
+    cfg = load_config(args.config, parse_overrides(args.overrides))
+    log = JsonlLogger(args.log_file)
+    log.log("config", name=cfg.name, devices=len(jax.devices()))
+
+    mesh = make_mesh(cfg.parallel.num_devices, cfg.parallel.data_axis)
+    bshard = batch_sharding(mesh, cfg.parallel.data_axis)
+    loader = Loader(cfg, "train", train=True, seed=cfg.train.seed, sharding=bshard)
+    it = iter(loader)
+    first = next(it)
+
+    state = TL.init_state(cfg, first)
+    state = replicate_state(state, mesh)
+    mgr = CK.make_manager(cfg.train.checkpoint_dir, cfg.train.keep_checkpoints)
+    if args.resume:
+        restored = CK.restore(mgr, state)
+        if restored is not None:
+            state = restored
+            log.log("resume", step=int(state.step))
+
+    step_fn = make_parallel_train_step(cfg, mesh)
+    timer = StepTimer(cfg.data.batch_size)
+
+    with maybe_trace(args.profile):
+        batch = first
+        while int(jax.device_get(state.step)) < cfg.train.total_steps:
+            state, metrics = step_fn(state, batch)
+            batch = next(it)
+            step = int(jax.device_get(state.step))
+            sps = timer.tick()
+            if step % cfg.train.log_every == 0:
+                log.log("train", step=step, scenes_per_sec=round(sps, 2),
+                        **{k: float(v) for k, v in metrics.items()})
+            if step % cfg.train.eval_every == 0:
+                eval_loader = Loader(cfg, "val", train=False, sharding=bshard)
+                res = run_eval(cfg, state, iter(eval_loader), max_batches=8)
+                eval_loader.close()
+                log.log("eval", step=step, **res)
+            if step % cfg.train.checkpoint_every == 0:
+                CK.save(mgr, state)
+                log.log("checkpoint", step=step)
+
+    CK.save(mgr, state)
+    mgr.wait_until_finished()
+    log.log("done", step=int(jax.device_get(state.step)))
+    loader.close()
+
+
+if __name__ == "__main__":
+    main()
