@@ -133,6 +133,20 @@ class SparseBasicBlock(nn.Module):
         return x + residual
 
 
+class SparseDropout(nn.Module):
+    """Row-masked feature dropout (SURVEY.md C8); inert when not training."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, train: bool) -> jax.Array:
+        if self.rate <= 0.0 or not train:
+            return feats
+        rng = self.make_rng("dropout")
+        keep = jax.random.bernoulli(rng, 1.0 - self.rate, feats.shape)
+        return jnp.where(keep, feats / (1.0 - self.rate), 0.0).astype(feats.dtype)
+
+
 class MLP(nn.Module):
     """Plain per-row MLP (used by heads)."""
 

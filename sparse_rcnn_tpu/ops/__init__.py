@@ -1,1 +1,1 @@
-from . import coords, rulebook, sparse_conv, voxelize  # noqa: F401
+from . import coords, hierarchy, nms, pooling, roi, rulebook, sparse_conv, voxelize  # noqa: F401

@@ -19,8 +19,12 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from typing import TYPE_CHECKING
+
 from . import rulebook as rb
-from ..sparse import SparseTensor
+
+if TYPE_CHECKING:  # avoid circular import; SparseTensor used as annotation only
+    from ..sparse import SparseTensor
 
 
 @struct.dataclass
@@ -44,7 +48,7 @@ class ScaleSet:
 
 
 def build_hierarchy(
-    st: SparseTensor,
+    st: "SparseTensor",
     num_scales: int,
     capacities,
     kernel_size: int = 3,

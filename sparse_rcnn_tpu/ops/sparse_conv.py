@@ -47,7 +47,7 @@ def _gather_rows(feats: jax.Array, idx: jax.Array) -> jax.Array:
 def gather_matmul_conv(
     feats: jax.Array, idx: jax.Array, weights: jax.Array
 ) -> jax.Array:
-    """Reference XLA executor (autodiff-able end to end)."""
+    """Reference XLA executor (autodiff-able end to end): scan over taps."""
     out_dtype = jnp.promote_types(feats.dtype, weights.dtype)
 
     def per_scene(f, ix):
@@ -66,36 +66,90 @@ def gather_matmul_conv(
     return out.astype(out_dtype)
 
 
+# Above this many im2col columns (K*Cin), the concatenated buffer costs more
+# HBM traffic than the per-tap matmuls recover in MXU utilization.
+_CONCAT_MAX_COLS = 4096
+
+
+def concat_matmul_conv(
+    feats: jax.Array, idx: jax.Array, weights: jax.Array
+) -> jax.Array:
+    """Im2col executor: ONE MXU matmul per layer instead of K small ones.
+
+    Gathers all taps into G [B, M_out, K*Cin] and contracts with
+    W.reshape(K*Cin, Cout). For the small channel counts of sparse UNets
+    (Cin 16–96) the per-tap matmuls use a sliver of the 128x128 MXU; the
+    concatenated contraction saturates it. Numerics match
+    :func:`gather_matmul_conv` up to f32 summation order.
+    """
+    out_dtype = jnp.promote_types(feats.dtype, weights.dtype)
+    k, cin, cout = weights.shape
+
+    def per_scene(f, ix):
+        m_out = ix.shape[1]
+        safe = jnp.clip(ix, 0, f.shape[0] - 1)          # [K, M_out]
+        g = f[safe]                                      # [K, M_out, Cin]
+        g = g * (ix >= 0)[..., None].astype(g.dtype)
+        g = jnp.swapaxes(g, 0, 1).reshape(m_out, k * cin)
+        return jnp.dot(
+            g, weights.reshape(k * cin, cout).astype(g.dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    out = jax.vmap(per_scene)(feats, idx)
+    return out.astype(out_dtype)
+
+
+def _best_executor(k: int, cin: int):
+    return concat_matmul_conv if k * cin <= _CONCAT_MAX_COLS else gather_matmul_conv
+
+
 @jax.custom_vjp
 def sparse_conv(feats: jax.Array, idx: jax.Array, weights: jax.Array) -> jax.Array:
-    """Sparse conv with gather-form (scatter-free) backward. Default executor."""
-    return gather_matmul_conv(feats, idx, weights)
+    """Sparse conv with gather-form (scatter-free) backward. Default executor.
+
+    Picks the im2col executor for small K*Cin (MXU utilization), the
+    scan-over-taps executor otherwise (HBM traffic).
+    """
+    return _best_executor(weights.shape[0], weights.shape[1])(feats, idx, weights)
 
 
 def _fwd(feats, idx, weights):
-    return gather_matmul_conv(feats, idx, weights), (feats, idx, weights)
+    return sparse_conv(feats, idx, weights), (feats, idx, weights)
 
 
 def _bwd(res, g):
     feats, idx, weights = res
+    k, cin, cout = weights.shape
     m_in = feats.shape[1]
     g = g.astype(jnp.float32)
 
-    # d_W[k] = sum_b gathered_bk^T @ g_b  — scan over taps, batched matmul.
-    def dw_scene(f, ix, gb):
-        def step(_, ix_k):
-            return None, _gather_rows(f, ix_k).astype(jnp.float32)
-        _, gathered = lax.scan(step, None, ix)  # [K, M_out, Cin]
-        return jnp.einsum(
-            "kmc,md->kcd", gathered, gb, preferred_element_type=jnp.float32
-        )
+    # d_W[k] = sum_b gathered_bk^T @ g_b.
+    if k * cin <= _CONCAT_MAX_COLS:
+        def dw_scene(f, ix, gb):
+            m_out = ix.shape[1]
+            safe = jnp.clip(ix, 0, f.shape[0] - 1)
+            gath = f[safe] * (ix >= 0)[..., None].astype(f.dtype)   # [K, M, Cin]
+            gath = jnp.swapaxes(gath, 0, 1).reshape(m_out, k * cin)
+            return jnp.dot(
+                gath.T.astype(jnp.float32), gb,
+                preferred_element_type=jnp.float32,
+            ).reshape(k, cin, cout)
+    else:
+        def dw_scene(f, ix, gb):
+            def step(_, ix_k):
+                return None, _gather_rows(f, ix_k).astype(jnp.float32)
+            _, gathered = lax.scan(step, None, ix)  # [K, M_out, Cin]
+            return jnp.einsum(
+                "kmc,md->kcd", gathered, gb, preferred_element_type=jnp.float32
+            )
 
     d_w = jax.vmap(dw_scene)(feats, idx, g).sum(axis=0)
 
     # d_feats via transposed rulebook: pure gather, no scatter.
     t_idx = jax.vmap(lambda ix: rb.transpose_rulebook(ix, m_in))(idx)
-    w_t = jnp.swapaxes(weights, -1, -2)  # [K, Cout, Cin]
-    d_f = gather_matmul_conv(g, t_idx, w_t.astype(jnp.float32))
+    w_t = jnp.swapaxes(weights, -1, -2).astype(jnp.float32)  # [K, Cout, Cin]
+    d_f = _best_executor(k, cout)(g, t_idx, w_t)
     return d_f.astype(feats.dtype), None, d_w.astype(weights.dtype)
 
 

@@ -76,7 +76,14 @@ def prepare_inputs(cfg: Config, batch: Dict[str, jax.Array]):
         batch["point_semantic"], p2v, cfg.data.voxel_capacity, vs,
         cfg.model.max_instances,
     )
-    return st, p2v, scales, gt
+    # overflow counters (BASELINE config 3: capacity-overflow paths must be
+    # observable, not silent)
+    aux = {
+        "voxel_overflow": jnp.sum(ovf),
+        "hierarchy_overflow": jnp.sum(hovf),
+        "voxels_per_scene": jnp.mean(st.nvalid.astype(jnp.float32)),
+    }
+    return st, p2v, scales, gt, aux
 
 
 def compute_losses(cfg: Config, out, scales, gt, row_mask):
@@ -105,7 +112,7 @@ def compute_losses(cfg: Config, out, scales, gt, row_mask):
 
 def init_state(cfg: Config, sample_batch: Dict[str, jax.Array]) -> TrainState:
     model = build_model(cfg)
-    st, _, scales, _ = prepare_inputs(cfg, sample_batch)
+    st, _, scales, _, _ = prepare_inputs(cfg, sample_batch)
     rng = jax.random.PRNGKey(cfg.train.seed)
     rng, init_rng = jax.random.split(rng)
     variables = model.init(init_rng, st.feats, scales, train=False)
@@ -124,7 +131,7 @@ def train_step(
     """One optimization step. Wrap in jax.jit(static_argnums=0) or use
     :func:`make_train_step`."""
     model = build_model(cfg)
-    st, _, scales, gt = prepare_inputs(cfg, batch)
+    st, _, scales, gt, aux = prepare_inputs(cfg, batch)
 
     def loss_fn(params):
         out, updates = model.apply(
@@ -142,6 +149,7 @@ def train_step(
     )
     new_params = optax.apply_updates(state.params, updates)
     metrics = dict(parts)
+    metrics.update(aux)
     metrics["total"] = total
     metrics["grad_norm"] = optax.global_norm(grads)
     new_state = state.replace(
@@ -160,7 +168,7 @@ def eval_step(cfg: Config, state: TrainState, batch: Dict[str, jax.Array]):
     from ..models import paint_instance_masks
 
     model = build_model(cfg)
-    st, p2v, scales, gt = prepare_inputs(cfg, batch)
+    st, p2v, scales, gt, _ = prepare_inputs(cfg, batch)
     out = model.apply(
         {"params": state.params, "batch_stats": state.batch_stats},
         st.feats, scales, train=False,

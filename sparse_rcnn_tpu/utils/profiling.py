@@ -21,6 +21,16 @@ def maybe_trace(enabled: bool, logdir: str = "/tmp/sparse_rcnn_tpu_trace"):
     print(f"[profile] trace written to {logdir} (load in Perfetto / XProf)")
 
 
+def cost_table(jitted_fn, *args, **kwargs):
+    """Per-program cost estimate from the compiled executable (SURVEY.md §5
+    'per-kernel cost table from compiled HLO'). Returns a dict of XLA cost
+    analysis keys (flops, bytes accessed, ...)."""
+    lowered = jitted_fn.lower(*args, **kwargs)
+    compiled = lowered.compile()
+    analyses = compiled.cost_analysis()
+    return analyses
+
+
 class StepTimer:
     """Rolling scenes/sec measurement."""
 

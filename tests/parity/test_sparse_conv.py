@@ -147,3 +147,17 @@ def test_custom_vjp_matches_autodiff(rng):
     gf2, gw2 = jax.grad(loss_auto, argnums=(0, 1))(feats, wj)
     np.testing.assert_allclose(np.asarray(gf1), np.asarray(gf2), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=1e-4, atol=1e-4)
+
+
+def test_concat_executor_matches_scan(rng):
+    cin, cout, cap = 4, 5, 128
+    c, f = setup_scene(rng, n=90, cin=cin)
+    n = len(c)
+    w = rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.3
+    idx = R.submanifold_rulebook(
+        jnp.asarray(pad_rows(c, cap, C.COORD_OFFSET - 1)), jnp.int32(n), 3
+    )[None]
+    feats = jnp.asarray(pad_rows(f, cap, 0.0))[None]
+    a = np.asarray(SC.gather_matmul_conv(feats, idx, jnp.asarray(w)))
+    b = np.asarray(SC.concat_matmul_conv(feats, idx, jnp.asarray(w)))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
