@@ -32,6 +32,10 @@ class DataConfig:
     elastic_distortion: bool = False
     num_workers: int = 2
     prefetch: int = 2
+    # voxelize in host workers via the C++ core (overlapped with device
+    # compute, BASELINE config 5); falls back to device voxelize if the
+    # native library is unavailable
+    host_voxelize: bool = False
 
 
 @dataclass(frozen=True)

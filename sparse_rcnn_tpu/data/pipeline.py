@@ -25,6 +25,24 @@ def _collate(scenes) -> Dict[str, np.ndarray]:
     return {k: np.stack([s[k] for s in scenes]) for k in scenes[0]}
 
 
+def host_voxelize_scene(scene: Dict[str, np.ndarray], cfg: Config) -> Dict[str, np.ndarray]:
+    """Attach C++-voxelized tables to a scene dict (keys the device path
+    recognizes and then skips its own voxelization for)."""
+    from .. import native
+
+    coords, feats, nv, p2v, ovf = native.voxelize_scene(
+        scene["points"], scene["feats"], scene["valid"].astype(np.uint8),
+        np.asarray(cfg.data.voxel_size, np.float32), cfg.data.voxel_capacity,
+    )
+    out = dict(scene)
+    out["voxel_coords"] = coords
+    out["voxel_feats"] = feats
+    out["voxel_nvalid"] = np.int32(nv)
+    out["p2v"] = p2v
+    out["voxel_overflow"] = np.int32(ovf)
+    return out
+
+
 class Loader:
     """Infinite (train) or single-pass (eval) batch iterator."""
 
@@ -46,6 +64,11 @@ class Loader:
         scene = self.dataset[idx % len(self.dataset)]
         if self.train and self.cfg.data.augment:
             scene = augment_scene(scene, self.cfg.data, rng)
+        if self.cfg.data.host_voxelize:
+            from .. import native
+
+            if native.available():
+                scene = host_voxelize_scene(scene, self.cfg)
         return scene
 
     def _worker(self):

@@ -61,12 +61,26 @@ def build_model(cfg: Config) -> SparseRCNN:
 
 
 def prepare_inputs(cfg: Config, batch: Dict[str, jax.Array]):
-    """Device-side front half: voxelize + hierarchy + GT. Pure, jit-safe."""
+    """Device-side front half: voxelize + hierarchy + GT. Pure, jit-safe.
+
+    If the batch carries host-voxelized tables (C++ core in the loader
+    workers, BASELINE config 5 overlap), device voxelization is skipped —
+    the native path's output contract is identical (tests/parity).
+    """
+    from ..sparse import make_sparse_tensor
+
     vs = jnp.asarray(cfg.data.voxel_size)
-    st, p2v, ovf = V.voxelize_batch(
-        batch["points"], batch["feats"], batch["valid"], vs,
-        cfg.data.voxel_capacity,
-    )
+    if "voxel_coords" in batch:
+        st = make_sparse_tensor(
+            batch["voxel_coords"], batch["voxel_feats"],
+            batch["voxel_nvalid"], assume_sorted=True,
+        )
+        p2v, ovf = batch["p2v"], batch["voxel_overflow"]
+    else:
+        st, p2v, ovf = V.voxelize_batch(
+            batch["points"], batch["feats"], batch["valid"], vs,
+            cfg.data.voxel_capacity,
+        )
     scales, hovf = H.build_hierarchy(
         st, len(cfg.model.backbone.widths), cfg.scale_capacities(),
         cfg.model.backbone.kernel_size,

@@ -63,3 +63,39 @@ def test_native_rulebook_matches_device(rng):
         R.submanifold_rulebook(jnp.asarray(padded), jnp.int32(n), 3)
     )
     np.testing.assert_array_equal(got, expected)
+
+
+def test_host_voxelize_pipeline_matches_device(rng):
+    """Train losses identical whether voxelization ran on host (C++) or
+    device (sort/segment) — the two input paths are interchangeable."""
+    import jax.numpy as jnp2
+    from sparse_rcnn_tpu.config import load_config
+    from sparse_rcnn_tpu.data import synthetic
+    from sparse_rcnn_tpu.data.pipeline import host_voxelize_scene
+    from sparse_rcnn_tpu.train import loop as TL
+
+    cfg = load_config(overrides={
+        "data": {"num_points": 512, "voxel_capacity": 256, "batch_size": 2,
+                  "voxel_size": [0.2, 0.2, 0.2], "host_voxelize": True},
+        "model": {
+            "backbone": {"widths": [8, 16], "blocks_per_scale": 1},
+            "rpn": {"hidden": 8, "num_proposals": 4, "pre_nms_topk": 16},
+            "roi": {"grid_size": 3, "hidden": 8, "mask_grid": 6},
+            "num_classes": 3, "max_instances": 6,
+        },
+    })
+    scenes = [synthetic.generate_scene(77 + i, num_points=512, num_instances=2,
+                                       num_classes=3) for i in range(2)]
+    device_batch = {k: jnp2.asarray(np.stack([s[k] for s in scenes]))
+                    for k in scenes[0]}
+    host_scenes = [host_voxelize_scene(s, cfg) for s in scenes]
+    host_batch = {k: jnp2.asarray(np.stack([s[k] for s in host_scenes]))
+                  for k in host_scenes[0]}
+
+    state = TL.init_state(cfg, device_batch)
+    step = TL.make_train_step(cfg)
+    import jax as _jax
+    s1, m1 = step(_jax.tree_util.tree_map(jnp2.copy, state), device_batch)
+    s2, m2 = step(_jax.tree_util.tree_map(jnp2.copy, state), host_batch)
+    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]),
+                               rtol=1e-5)
