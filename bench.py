@@ -10,12 +10,31 @@ flagged via "baseline" field.
 """
 
 import json
+import os
 import sys
 import time
 
 
+def enable_compile_cache():
+    """Persistent XLA compilation cache — first-run compiles through the
+    remote-compile tunnel take many minutes; reruns must not."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax — cache is best-effort
+
+
 def main():
     import jax
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -25,7 +44,7 @@ def main():
 
     num_points = 32768
     voxel_size = 0.05
-    batch_size = 8  # amortizes per-dispatch latency; metric stays per-scene
+    batch_size = 4  # amortizes per-dispatch latency; metric stays per-scene
     cfg = load_config(overrides={
         "data": {"num_points": num_points, "voxel_capacity": 32768,
                   "batch_size": batch_size, "voxel_size": [voxel_size] * 3},
@@ -50,15 +69,22 @@ def main():
     state = TL.init_state(cfg, batch)
     step = TL.make_eval_step(cfg)
 
+    # Each timed call gets DISTINCT inputs: the execution relay deduplicates
+    # identical (executable, inputs) calls, which silently turns a timing
+    # loop over one batch into a cache benchmark.
+    iters = 10
+    batches = [
+        dict(batch, feats=batch["feats"] + (i + 1) * 1e-4) for i in range(iters)
+    ]
+    batches = jax.block_until_ready(batches)
+
     # warmup / compile
     out = step(state, batch)
     jax.block_until_ready(out)
 
-    iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(state, batch)
-    jax.block_until_ready(out)
+    outs = [step(state, b) for b in batches]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     tpu_sps = iters * cfg.data.batch_size / dt
 

@@ -44,6 +44,9 @@ class BackboneConfig:
     blocks_per_scale: int = 1                    # residual blocks per scale
     kernel_size: int = 3
     dtype: str = "float32"                       # compute dtype: float32 | bfloat16
+    # rematerialize residual blocks in backward (trade FLOPs for HBM —
+    # matters at 2cm/262k-voxel capacities)
+    remat: bool = False
     # voxel capacity per scale; scale s defaults to voxel_capacity >> s
     capacities: Optional[Tuple[int, ...]] = None
 

@@ -45,6 +45,7 @@ class SparseRCNN(nn.Module):
             blocks_per_scale=bb.blocks_per_scale,
             kernel_size=bb.kernel_size,
             dtype=self.dtype,
+            remat=bb.remat,
             name="backbone",
         )(feats, scales, train)
 

@@ -38,11 +38,16 @@ class SparseUNet(nn.Module):
     blocks_per_scale: int = 1
     kernel_size: int = 3
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, feats: jax.Array, scales: List[ScaleSet], train: bool = False):
         ns = len(self.widths)
         assert len(scales) == ns, (len(scales), ns)
+        block_cls = (
+            nn.remat(SparseBasicBlock, static_argnums=(4,))
+            if self.remat else SparseBasicBlock
+        )
 
         x = SubMConv3d(self.widths[0], self.kernel_size, dtype=self.dtype, name="stem")(
             feats, scales[0].subm_idx
@@ -52,7 +57,7 @@ class SparseUNet(nn.Module):
         skips = []
         for s in range(ns):
             for b in range(self.blocks_per_scale):
-                x = SparseBasicBlock(
+                x = block_cls(
                     self.widths[s], self.kernel_size, dtype=self.dtype,
                     name=f"enc{s}_block{b}",
                 )(x, scales[s].subm_idx, _mask(scales[s]), train)
@@ -79,7 +84,7 @@ class SparseUNet(nn.Module):
             )(up, scales[s].up_idx)
             x = jnp.concatenate([up, skips[s]], axis=-1)
             for b in range(self.blocks_per_scale):
-                x = SparseBasicBlock(
+                x = block_cls(
                     self.widths[s], self.kernel_size, dtype=self.dtype,
                     name=f"dec{s}_block{b}",
                 )(x, scales[s].subm_idx, _mask(scales[s]), train)

@@ -57,22 +57,24 @@ def sample_trilinear(
     base = jnp.floor(q).astype(jnp.int32)
     frac = q - base
 
-    out = None
-    for corner in range(8):
-        off = jnp.array(
-            [(corner >> 2) & 1, (corner >> 1) & 1, corner & 1], jnp.int32
-        )
-        cc = base + off
-        w = jnp.prod(
-            jnp.where(off.astype(frac.dtype) > 0, frac, 1.0 - frac), axis=-1
-        )
-        qhi, qlo = coord_ops.pack_coords(cc)
-        idx = coord_ops.table_lookup(thi, tlo, qhi, qlo)
-        safe = jnp.clip(idx, 0, m - 1)
-        val = feats[safe] * (idx >= 0)[..., None].astype(feats.dtype)
-        contrib = val * w[..., None].astype(feats.dtype)
-        out = contrib if out is None else out + contrib
-    return out
+    # all 8 corners in ONE bulk sort-merge lookup (1-D gathers are slow in
+    # XLA on TPU; batching the corners amortizes the sort)
+    offs = jnp.array(
+        [[(c >> 2) & 1, (c >> 1) & 1, c & 1] for c in range(8)], jnp.int32
+    )  # [8, 3]
+    cc = base[None, ...] + offs.reshape((8,) + (1,) * (base.ndim - 1) + (3,))
+    w = jnp.prod(
+        jnp.where(
+            offs.reshape((8,) + (1,) * (frac.ndim - 1) + (3,)).astype(frac.dtype) > 0,
+            frac[None, ...], 1.0 - frac[None, ...],
+        ),
+        axis=-1,
+    )  # [8, ...]
+    qhi, qlo = coord_ops.pack_coords(cc)
+    idx = coord_ops.table_lookup_bulk(thi, tlo, qhi, qlo)  # [8, ...]
+    safe = jnp.clip(idx, 0, m - 1)
+    val = feats[safe] * (idx >= 0)[..., None].astype(feats.dtype)
+    return jnp.sum(val * w[..., None].astype(feats.dtype), axis=0)
 
 
 def sample_nearest(
@@ -93,7 +95,7 @@ def sample_nearest(
     thi, tlo = coord_ops.pack_coords(table_coords, mask)
     cc = jnp.floor(positions / stride).astype(jnp.int32)
     qhi, qlo = coord_ops.pack_coords(cc)
-    idx = coord_ops.table_lookup(thi, tlo, qhi, qlo)
+    idx = coord_ops.table_lookup_bulk(thi, tlo, qhi, qlo)
     safe = jnp.clip(idx, 0, m - 1)
     val = values[safe]
     return jnp.where(idx >= 0, val, jnp.asarray(fill_value, values.dtype))

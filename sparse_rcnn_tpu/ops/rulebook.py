@@ -12,8 +12,10 @@ coordinate table from :mod:`sparse_rcnn_tpu.ops.coords`:
     forward pass* — gathers and matmuls are what the TPU is good at, and
     per-``k`` the map is injective, so the backward pass is again a gather
     with the transposed rulebook.
-  * Lookups are binary search into the lexicographically sorted table
-    (one sort amortized per site set — it is maintained by SparseTensor).
+  * Lookups go through the bulk sort-merge path (`table_lookup_bulk`):
+    all K offsets' queries in one lax.sort + segmented scan. Binary search
+    (`table_lookup`) exists as the oracle but large 1-D gathers lower
+    poorly in XLA on TPU (~0.4 GB/s measured), so it is not the hot path.
 
 Three rulebook flavors cover the UNet (SURVEY.md C5–C7):
   * submanifold (stride 1, odd kernel, output sites == input sites),
@@ -50,13 +52,11 @@ def submanifold_rulebook(
     """
     (hi, lo), mask = _sorted_keys(coords, nvalid)
     offsets = coord_ops.kernel_offsets(kernel_size, centered=True)
-
-    def one_offset(off):
-        q = coords - off[None, :]
-        qhi, qlo = coord_ops.pack_coords(q, mask)
-        return coord_ops.table_lookup(hi, lo, qhi, qlo)
-
-    return jax.vmap(one_offset)(offsets)
+    # all K offsets in ONE bulk sort-merge lookup (XLA 1-D gathers are slow
+    # on TPU; the binary-search path would gather per bisection step)
+    q = coords[None, :, :] - offsets[:, None, :]          # [K, M, 3]
+    qhi, qlo = coord_ops.pack_coords(q, mask[None, :])
+    return coord_ops.table_lookup_bulk(hi, lo, qhi, qlo)
 
 
 def downsample_sites(
@@ -91,13 +91,9 @@ def strided_rulebook(
     m_out = out_coords.shape[0]
     out_mask = jnp.arange(m_out, dtype=jnp.int32) < out_nvalid
     offsets = coord_ops.kernel_offsets(stride, centered=False)
-
-    def one_offset(off):
-        q = out_coords * stride + off[None, :]
-        qhi, qlo = coord_ops.pack_coords(q, out_mask)
-        return coord_ops.table_lookup(hi, lo, qhi, qlo)
-
-    return jax.vmap(one_offset)(offsets)
+    q = out_coords[None, :, :] * stride + offsets[:, None, :]  # [K, M_out, 3]
+    qhi, qlo = coord_ops.pack_coords(q, out_mask[None, :])
+    return coord_ops.table_lookup_bulk(hi, lo, qhi, qlo)
 
 
 def inverse_rulebook(
@@ -120,7 +116,7 @@ def inverse_rulebook(
     parent = jnp.where(fine_mask[:, None], fine_coords // stride, coord_ops.COORD_OFFSET - 1)
     child = fine_coords - parent * stride  # [M_fine, 3] in [0, s)
     phi, plo = coord_ops.pack_coords(parent, fine_mask)
-    parent_row = coord_ops.table_lookup(hi, lo, phi, plo)  # [M_fine]
+    parent_row = coord_ops.table_lookup_bulk(hi, lo, phi, plo)  # [M_fine]
     offsets = coord_ops.kernel_offsets(stride, centered=False)
 
     def one_offset(off):

@@ -85,3 +85,29 @@ def test_kernel_offsets():
     offs2 = np.asarray(C.kernel_offsets(2, centered=False))
     assert offs2.shape == (8, 3)
     assert offs2.min() == 0 and offs2.max() == 1
+
+
+def test_table_lookup_bulk_matches_binary_search(rng):
+    import jax
+    c = np.unique(random_coords(rng, 400), axis=0)
+    m = len(c)
+    cap = 512
+    pad = np.full((cap, 3), C.COORD_OFFSET - 1, np.int32)
+    pad[:m] = c
+    mask = np.arange(cap) < m
+    hi, lo = C.pack_coords(jnp.asarray(pad), jnp.asarray(mask))
+    # queries: mix of hits, misses, and sentinels
+    probes = np.concatenate([
+        c[:200] + rng.integers(-1, 2, (200, 3)),
+        rng.integers(-60, 60, (300, 3)).astype(np.int32),
+    ])
+    qvalid = np.ones(len(probes), bool)
+    qvalid[450:] = False
+    qhi, qlo = C.pack_coords(jnp.asarray(probes), jnp.asarray(qvalid))
+    a = np.asarray(C.table_lookup(hi, lo, qhi, qlo))
+    b = np.asarray(C.table_lookup_bulk(hi, lo, qhi, qlo))
+    np.testing.assert_array_equal(a, b)
+    # multi-dim query shapes + vmap
+    q2 = jnp.stack([qhi.reshape(10, 50)] * 2), jnp.stack([qlo.reshape(10, 50)] * 2)
+    bb = jax.vmap(lambda qh, ql: C.table_lookup_bulk(hi, lo, qh, ql))(*q2)
+    np.testing.assert_array_equal(np.asarray(bb)[0].ravel(), a)
