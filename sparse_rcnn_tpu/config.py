@@ -47,6 +47,9 @@ class BackboneConfig:
     # rematerialize residual blocks in backward (trade FLOPs for HBM —
     # matters at 2cm/262k-voxel capacities)
     remat: bool = False
+    # default per-scale capacity decay: surface-like scenes lose only
+    # ~1.4-2x sites per 2x downsample (not 8x), so halving overflows
+    capacity_factor: float = 0.75
     # voxel capacity per scale; scale s defaults to voxel_capacity >> s
     capacities: Optional[Tuple[int, ...]] = None
 
@@ -119,8 +122,10 @@ class Config:
         if caps is not None:
             return tuple(caps)
         base = self.data.voxel_capacity
+        f = self.model.backbone.capacity_factor
         return tuple(
-            max(base >> s, 64) for s in range(len(self.model.backbone.widths))
+            max(int(base * f ** s) + 127 & ~127, 128)
+            for s in range(len(self.model.backbone.widths))
         )
 
 

@@ -47,29 +47,37 @@ def generate_scene(
     bg_inst = np.full(n_bg, -1, np.int32)
     bg_sem = np.full(n_bg, -1, np.int32)
 
-    # instances: axis-aligned blobs above the floor
+    # instances: axis-aligned blobs above the floor with CLASS-CORRELATED
+    # features (a deterministic per-class "color" + noise) so semantic
+    # prediction is learnable — real datasets carry appearance cues too
+    class_rng = np.random.default_rng(12345)
+    class_colors = class_rng.uniform(-1, 1, (num_classes, num_features))
+
     k = int(rng.integers(max(1, num_instances - 2), num_instances + 1))
     per = n_fg // k
-    fg_pts, fg_inst, fg_sem = [], [], []
+    fg_pts, fg_inst, fg_sem, fg_feat = [], [], [], []
     for i in range(k):
         center = rng.uniform(1.0, extent - 1.0, 3)
         center[2] = rng.uniform(0.3, 1.5)
         size = rng.uniform(0.3, 1.2, 3)
         cnt = per if i < k - 1 else n_fg - per * (k - 1)
         pts = center + rng.uniform(-0.5, 0.5, (cnt, 3)) * size
+        cls = int(rng.integers(0, num_classes))
         fg_pts.append(pts)
         fg_inst.append(np.full(cnt, i, np.int32))
-        fg_sem.append(np.full(cnt, int(rng.integers(0, num_classes)), np.int32))
+        fg_sem.append(np.full(cnt, cls, np.int32))
+        fg_feat.append(class_colors[cls] + rng.normal(0, 0.3, (cnt, num_features)))
 
     points = np.concatenate([bg_pts] + fg_pts).astype(np.float32)
     inst = np.concatenate([bg_inst] + fg_inst)
     sem = np.concatenate([bg_sem] + fg_sem)
-    feats = rng.normal(size=(num_points, num_features)).astype(np.float32)
+    bg_feat = rng.normal(0, 0.3, (n_bg, num_features))
+    feats = np.concatenate([bg_feat] + fg_feat).astype(np.float32)
 
     perm = rng.permutation(num_points)
     return {
         "points": points[perm],
-        "feats": feats,
+        "feats": feats[perm],
         "valid": np.ones(num_points, bool),
         "point_instance": inst[perm],
         "point_semantic": sem[perm],

@@ -37,7 +37,12 @@ class SparseRCNN(nn.Module):
 
     @nn.compact
     def __call__(
-        self, feats: jax.Array, scales: List[ScaleSet], train: bool = False
+        self,
+        feats: jax.Array,
+        scales: List[ScaleSet],
+        train: bool = False,
+        gt_boxes: jax.Array = None,
+        gt_boxes_valid: jax.Array = None,
     ) -> Dict[str, jax.Array]:
         bb = self.cfg.backbone
         outs = SparseUNet(
@@ -59,6 +64,27 @@ class SparseRCNN(nn.Module):
         )(outs[s], rpn_sites.coords, rpn_mask)
 
         props, scores, pmask = select_proposals(obj, boxes, rpn_mask, self.cfg.rpn)
+
+        if train and gt_boxes is not None:
+            # Fast-R-CNN-style GT injection: overwrite the lowest-scored
+            # proposal slots with GT boxes so the RoI heads see foreground
+            # from step 0 (early RPN boxes are too loose to match at IoU
+            # 0.25, which would starve the cls/mask losses).
+            p = props.shape[1]
+            n_inject = min(gt_boxes.shape[1], p // 2)
+            gtb = gt_boxes[:, :n_inject]
+            gtv = (
+                gt_boxes_valid[:, :n_inject]
+                if gt_boxes_valid is not None
+                else jnp.ones(gtb.shape[:2], bool)
+            )
+            keep_slots = p - n_inject
+            props = jnp.concatenate([props[:, :keep_slots], gtb], axis=1)
+            scores = jnp.concatenate(
+                [scores[:, :keep_slots],
+                 jnp.where(gtv, 0.0, -1e9)], axis=1)
+            pmask = jnp.concatenate([pmask[:, :keep_slots], gtv], axis=1)
+
         crop_boxes = expand_boxes(props, self.cfg.roi.expand)
 
         roi_feats = jax.vmap(
@@ -94,13 +120,16 @@ class SparseRCNN(nn.Module):
 def paint_instance_masks(
     outputs: Dict[str, jax.Array],
     scales: List[ScaleSet],
-    threshold: float = 0.5,
+    masked: bool = True,
 ):
-    """Inference post-processing: per-proposal voxel masks at stride 1.
+    """Per-proposal mask logits at every stride-1 voxel center.
 
-    Returns (voxel_mask_logits [B, P, M0], inside [B, P, M0]) — evaluate the
-    RoI mask grids at every stride-1 voxel center. Devoxelize downstream to
-    get point masks (SURVEY.md §3.2: the metric lives on points).
+    Returns (voxel_mask_logits [B, P, M0], inside [B, P, M0]). With
+    ``masked=True`` (inference) voxels outside the crop box get -1e9;
+    with ``masked=False`` raw sampled logits are returned (the training
+    loss weights outside-voxels to zero instead — same sampling path, so
+    train and eval see identical mask geometry). Devoxelize downstream for
+    point masks (SURVEY.md §3.2: the metric lives on points).
     """
     coords0 = scales[0].coords
     centers = coords0.astype(jnp.float32) + 0.5
@@ -111,4 +140,6 @@ def paint_instance_masks(
     logits, inside = jax.vmap(one)(
         outputs["mask_logits"], outputs["crop_boxes"], centers
     )
+    if masked:
+        logits = jnp.where(inside, logits, -1e9)
     return logits, inside

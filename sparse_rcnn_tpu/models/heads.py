@@ -69,7 +69,7 @@ def sample_mask_at_positions(
     p = mask_logits.shape[0]
     pid = jnp.arange(p, dtype=jnp.int32)[:, None]
     logits = mask_logits[pid, cell[..., 0], cell[..., 1], cell[..., 2]]
-    return jnp.where(inside, logits, -1e9), inside
+    return logits, inside
 
 
 class SemanticHead(nn.Module):

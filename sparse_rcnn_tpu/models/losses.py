@@ -38,10 +38,10 @@ def roi_cls_loss(cls_logits: jax.Array, t: RoITargets) -> jax.Array:
     return _masked_mean(ce, t.cls_weight)
 
 
-def roi_mask_loss(mask_logits: jax.Array, t: RoITargets) -> jax.Array:
-    bce = optax.sigmoid_binary_cross_entropy(mask_logits, t.mask)
-    per_roi = jnp.mean(bce, axis=(2, 3, 4))
-    return _masked_mean(per_roi, t.mask_weight)
+def roi_mask_loss(voxel_mask_logits: jax.Array, t: RoITargets) -> jax.Array:
+    """BCE at the stride-1 voxels inside each fg proposal ([B, P, M0])."""
+    bce = optax.sigmoid_binary_cross_entropy(voxel_mask_logits, t.mask)
+    return _masked_mean(bce, t.mask_weight)
 
 
 def semantic_loss(

@@ -79,8 +79,8 @@ def rpn_targets(
 class RoITargets:
     cls: jax.Array          # int32[B, P] target class (num_classes = background)
     cls_weight: jax.Array   # float[B, P]
-    mask: jax.Array         # float[B, P, G, G, G] 0/1 occupancy of matched instance
-    mask_weight: jax.Array  # float[B, P] (1 on foreground proposals)
+    mask: jax.Array         # float[B, P, M0] matched-instance membership per voxel
+    mask_weight: jax.Array  # float[B, P, M0] (live voxel ∧ inside box ∧ fg proposal)
     matched_gt: jax.Array   # int32[B, P] matched instance index (-1 bg)
 
 
@@ -91,14 +91,17 @@ def roi_targets(
     table_nvalid: jax.Array,
     gt: SceneGT,
     cfg: ModelConfig,
-    mask_grid: int,
+    mask_grid: int = 0,  # kept for call compatibility; unused
     fg_iou: float = 0.25,
 ) -> RoITargets:
-    """Match proposals to GT boxes; build class + mask-grid targets.
+    """Match proposals to GT boxes; build class + per-voxel mask targets.
 
-    The mask target for a foreground proposal is the matched instance's
-    voxel occupancy sampled at the proposal's mask-grid cell centers
-    (nearest stride-1 voxel).
+    Mask supervision lives on the ACTUAL stride-1 voxels inside each
+    foreground proposal's box — the same places the mask grid is sampled
+    at inference (paint → devoxelize) — so train and eval are exactly
+    aligned and targets carry no grid-resampling noise. This mirrors the
+    reference's "classify the voxels inside each RoI" formulation
+    (SURVEY.md C13/§0.1).
     """
     num_classes = cfg.num_classes
 
@@ -112,17 +115,20 @@ def roi_targets(
         cls_t = jnp.where(fg, gcls[jnp.clip(best, 0, gcls.shape[0] - 1)], num_classes)
         cls_w = pmask.astype(jnp.float32)
 
-        # mask-grid targets: sample instance ids at grid cell centers
-        pos = roi_ops.roi_grid_positions(props, mask_grid)  # [P, G³, 3]
-        inst_at = roi_ops.sample_nearest(tcoords, tnvalid, vinst, pos, stride=1, fill_value=-1)
-        target = (inst_at == matched[:, None]) & fg[:, None]
-        g = mask_grid
+        # per-voxel membership of the matched instance, weighted to voxels
+        # inside the (crop) box of each fg proposal
+        m = tcoords.shape[0]
+        centers = tcoords.astype(jnp.float32) + 0.5            # [M, 3]
+        rel = (centers[None, :, :] - props[:, None, :3]) / jnp.maximum(
+            props[:, None, 3:] - props[:, None, :3], 1e-6
+        )
+        inside = jnp.all((rel >= 0.0) & (rel < 1.0), axis=-1)  # [P, M]
+        live = jnp.arange(m, dtype=jnp.int32)[None, :] < tnvalid
+        target = (vinst[None, :] == matched[:, None]) & (matched[:, None] >= 0)
+        weight = (inside & live & fg[:, None]).astype(jnp.float32)
         return (
-            cls_t.astype(jnp.int32),
-            cls_w,
-            target.reshape(-1, g, g, g).astype(jnp.float32),
-            fg.astype(jnp.float32),
-            matched,
+            cls_t.astype(jnp.int32), cls_w,
+            target.astype(jnp.float32), weight, matched,
         )
 
     cls_t, cls_w, mask_t, mask_w, matched = jax.vmap(one)(

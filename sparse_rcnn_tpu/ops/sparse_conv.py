@@ -100,7 +100,30 @@ def concat_matmul_conv(
     return out.astype(out_dtype)
 
 
+# Executor selection: "auto" picks im2col vs scan by K*Cin; "pallas" uses
+# the fused tap-accumulate kernel (ops.pallas_conv) for the matmul stage.
+_EXECUTOR_MODE = "auto"
+
+
+def set_executor_mode(mode: str) -> None:
+    """Select the conv executor globally: auto | concat | scan | pallas.
+
+    Takes effect at trace time (call before jit-compiling steps).
+    """
+    global _EXECUTOR_MODE
+    assert mode in ("auto", "concat", "scan", "pallas"), mode
+    _EXECUTOR_MODE = mode
+
+
 def _best_executor(k: int, cin: int):
+    if _EXECUTOR_MODE == "scan":
+        return gather_matmul_conv
+    if _EXECUTOR_MODE == "concat":
+        return concat_matmul_conv
+    if _EXECUTOR_MODE == "pallas":
+        from . import pallas_conv
+
+        return pallas_conv.pallas_conv
     return concat_matmul_conv if k * cin <= _CONCAT_MAX_COLS else gather_matmul_conv
 
 

@@ -24,7 +24,7 @@ def postprocess_scene(
     cls_prob = cls_prob / cls_prob.sum(-1, keepdims=True)
     fg_prob = cls_prob[:, :num_classes]
     pred_cls = fg_prob.argmax(-1)
-    obj = 1 / (1 + np.exp(-np.asarray(out["proposal_scores"][b])))
+    obj = 1 / (1 + np.exp(-np.clip(np.asarray(out["proposal_scores"][b]), -30, 30)))
     scores = fg_prob.max(-1) * obj
     point_logits = np.asarray(out["point_mask_logits"][b])  # [P, N]
     masks = point_logits > np.log(mask_threshold / (1 - mask_threshold))

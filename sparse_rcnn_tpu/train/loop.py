@@ -101,6 +101,8 @@ def prepare_inputs(cfg: Config, batch: Dict[str, jax.Array]):
 
 
 def compute_losses(cfg: Config, out, scales, gt, row_mask):
+    from ..models import paint_instance_masks
+
     rt = rpn_targets(
         scales[cfg.model.rpn.rpn_scale].coords, out["rpn_mask"], gt,
         cfg.model.rpn.box_norm, 1 << cfg.model.rpn.rpn_scale,
@@ -108,13 +110,16 @@ def compute_losses(cfg: Config, out, scales, gt, row_mask):
     obj_l, box_l = L.rpn_loss(out["rpn_obj"], out["rpn_deltas"], rt)
     tt = roi_targets(
         out["crop_boxes"], out["proposal_mask"], scales[0].coords,
-        scales[0].nvalid, gt, cfg.model, cfg.model.roi.mask_grid,
+        scales[0].nvalid, gt, cfg.model,
     )
+    # mask loss at the actual voxels, through the same sampling path used
+    # at inference (train/eval alignment)
+    voxel_mask_logits, _ = paint_instance_masks(out, scales, masked=False)
     parts = {
         "rpn_obj": obj_l,
         "rpn_box": box_l,
         "roi_cls": L.roi_cls_loss(out["cls_logits"], tt),
-        "roi_mask": L.roi_mask_loss(out["mask_logits"], tt),
+        "roi_mask": L.roi_mask_loss(voxel_mask_logits, tt),
     }
     if cfg.model.use_semantic_head:
         parts["semantic"] = L.semantic_loss(
@@ -150,7 +155,9 @@ def train_step(
     def loss_fn(params):
         out, updates = model.apply(
             {"params": params, "batch_stats": state.batch_stats},
-            st.feats, scales, train=True, mutable=["batch_stats"],
+            st.feats, scales, train=True,
+            gt_boxes=gt.boxes, gt_boxes_valid=gt.valid,
+            mutable=["batch_stats"],
         )
         total, parts = compute_losses(cfg, out, scales, gt, st.row_mask)
         return total, (parts, updates["batch_stats"])

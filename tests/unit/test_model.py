@@ -105,11 +105,11 @@ def test_model_forward_and_losses(tiny_cfg, pipeline_state):
                      (jnp.arange(scales[0].coords.shape[1])[None] < scales[0].nvalid[:, None]),
                      gt, cfg.model.rpn.box_norm, 1)
     obj_l, box_l = L.rpn_loss(out["rpn_obj"], out["rpn_deltas"], rt)
-    tt = roi_targets(out["proposals"], out["proposal_mask"],
-                     scales[0].coords, scales[0].nvalid, gt, cfg.model,
-                     cfg.model.roi.grid_size * 2)
+    tt = roi_targets(out["crop_boxes"], out["proposal_mask"],
+                     scales[0].coords, scales[0].nvalid, gt, cfg.model)
     cls_l = L.roi_cls_loss(out["cls_logits"], tt)
-    mask_l = L.roi_mask_loss(out["mask_logits"], tt)
+    vox_logits_raw, _ = paint_instance_masks(out, scales, masked=False)
+    mask_l = L.roi_mask_loss(vox_logits_raw, tt)
     sem_l = L.semantic_loss(out["semantic_logits"], gt.voxel_semantic,
                             st.row_mask, cfg.model.num_classes)
     for name, val in [("obj", obj_l), ("box", box_l), ("cls", cls_l),
@@ -137,12 +137,12 @@ def test_model_grads_flow(tiny_cfg, pipeline_state):
         mask0 = jnp.arange(st.capacity)[None] < scales[0].nvalid[:, None]
         rt = rpn_targets(scales[0].coords, mask0, gt, cfg.model.rpn.box_norm, 1)
         obj_l, box_l = L.rpn_loss(out["rpn_obj"], out["rpn_deltas"], rt)
-        tt = roi_targets(out["proposals"], out["proposal_mask"],
-                         scales[0].coords, scales[0].nvalid, gt, cfg.model,
-                         cfg.model.roi.grid_size * 2)
+        tt = roi_targets(out["crop_boxes"], out["proposal_mask"],
+                         scales[0].coords, scales[0].nvalid, gt, cfg.model)
+        vox_logits_raw, _ = paint_instance_masks(out, scales, masked=False)
         parts = {"rpn_obj": obj_l, "rpn_box": box_l,
                  "roi_cls": L.roi_cls_loss(out["cls_logits"], tt),
-                 "roi_mask": L.roi_mask_loss(out["mask_logits"], tt)}
+                 "roi_mask": L.roi_mask_loss(vox_logits_raw, tt)}
         return L.total_loss(parts, (1.0, 1.0, 1.0, 1.0))
 
     val, grads = jax.value_and_grad(loss_fn)(params)
