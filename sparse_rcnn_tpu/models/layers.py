@@ -42,12 +42,18 @@ class SparseConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: jax.Array, idx: jax.Array) -> jax.Array:
+    def __call__(self, feats: jax.Array, idx: jax.Array, t_idx=None) -> jax.Array:
         cin = feats.shape[-1]
         w = self.param(
             "kernel", _kaiming_init, (self.num_taps, cin, self.features), jnp.float32
         )
-        out = sc.sparse_conv(feats.astype(self.dtype), idx, w.astype(self.dtype))
+        if t_idx is None:
+            out = sc.sparse_conv(feats.astype(self.dtype), idx, w.astype(self.dtype))
+        else:
+            # scatter-free backward via the precomputed transposed rulebook
+            out = sc.sparse_conv_t(
+                feats.astype(self.dtype), idx, t_idx, w.astype(self.dtype)
+            )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             # bias only on live rows (rows with any rulebook hit)
@@ -67,9 +73,12 @@ class SubMConv3d(nn.Module):
     @nn.compact
     def __call__(self, feats: jax.Array, subm_idx: jax.Array) -> jax.Array:
         k3 = self.kernel_size ** 3
+        # reversing the centered-offset enumeration negates every offset,
+        # which IS the transposed rulebook (rulebook duality)
+        t_idx = jnp.flip(subm_idx, axis=1)
         return SparseConv(
             self.features, k3, self.use_bias, self.dtype, name="conv"
-        )(feats, subm_idx)
+        )(feats, subm_idx, t_idx)
 
 
 class MaskedBatchNorm(nn.Module):

@@ -69,7 +69,7 @@ class SparseUNet(nn.Module):
                 x = nn.relu(x)
                 x = SparseConv(
                     self.widths[s + 1], 8, dtype=self.dtype, name=f"down{s}_conv"
-                )(x, scales[s].down_idx)
+                )(x, scales[s].down_idx, scales[s].up_idx)  # t(down) == up
 
         # decoder
         outputs = [None] * ns
@@ -81,7 +81,7 @@ class SparseUNet(nn.Module):
             up = nn.relu(up)
             up = SparseConv(
                 self.widths[s], 8, dtype=self.dtype, name=f"up{s}_conv"
-            )(up, scales[s].up_idx)
+            )(up, scales[s].up_idx, scales[s].down_idx)  # t(up) == down
             x = jnp.concatenate([up, skips[s]], axis=-1)
             for b in range(self.blocks_per_scale):
                 x = block_cls(

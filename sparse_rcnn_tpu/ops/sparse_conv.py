@@ -177,3 +177,56 @@ def _bwd(res, g):
 
 
 sparse_conv.defvjp(_fwd, _bwd)
+
+
+@jax.custom_vjp
+def sparse_conv_t(
+    feats: jax.Array, idx: jax.Array, t_idx: jax.Array, weights: jax.Array
+) -> jax.Array:
+    """Sparse conv with a caller-supplied transposed rulebook.
+
+    The transposes come for free from rulebook dualities — no scatters in
+    the backward at all:
+      * submanifold (odd centered kernel): t(idx) == idx[:, ::-1, :]
+        (reversing the offset enumeration negates every offset),
+      * strided down (k==s):               t(down_idx) == up_idx,
+      * inverse up (k==s):                 t(up_idx) == down_idx.
+    """
+    return _best_executor(weights.shape[0], weights.shape[1])(feats, idx, weights)
+
+
+def _fwd_t(feats, idx, t_idx, weights):
+    return sparse_conv_t(feats, idx, t_idx, weights), (feats, idx, t_idx, weights)
+
+
+def _bwd_t(res, g):
+    feats, idx, t_idx, weights = res
+    k, cin, cout = weights.shape
+    g = g.astype(jnp.float32)
+
+    if k * cin <= _CONCAT_MAX_COLS:
+        def dw_scene(f, ix, gb):
+            m_out = ix.shape[1]
+            safe = jnp.clip(ix, 0, f.shape[0] - 1)
+            gath = f[safe] * (ix >= 0)[..., None].astype(f.dtype)
+            gath = jnp.swapaxes(gath, 0, 1).reshape(m_out, k * cin)
+            return jnp.dot(
+                gath.T.astype(jnp.float32), gb,
+                preferred_element_type=jnp.float32,
+            ).reshape(k, cin, cout)
+    else:
+        def dw_scene(f, ix, gb):
+            def step(_, ix_k):
+                return None, _gather_rows(f, ix_k).astype(jnp.float32)
+            _, gathered = lax.scan(step, None, ix)
+            return jnp.einsum(
+                "kmc,md->kcd", gathered, gb, preferred_element_type=jnp.float32
+            )
+
+    d_w = jax.vmap(dw_scene)(feats, idx, g).sum(axis=0)
+    w_t = jnp.swapaxes(weights, -1, -2).astype(jnp.float32)
+    d_f = _best_executor(k, cout)(g, t_idx, w_t)
+    return d_f.astype(feats.dtype), None, None, d_w.astype(weights.dtype)
+
+
+sparse_conv_t.defvjp(_fwd_t, _bwd_t)

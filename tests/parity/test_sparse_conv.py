@@ -161,3 +161,50 @@ def test_concat_executor_matches_scan(rng):
     a = np.asarray(SC.gather_matmul_conv(feats, idx, jnp.asarray(w)))
     b = np.asarray(SC.concat_matmul_conv(feats, idx, jnp.asarray(w)))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_sparse_conv_t_grads_match(rng):
+    """Precomputed-transpose backward == on-the-fly transpose backward."""
+    cin, cout, cap = 4, 5, 128
+    c, f = setup_scene(rng, n=80, cin=cin)
+    n = len(c)
+    w = rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.2
+    idx = R.submanifold_rulebook(
+        jnp.asarray(pad_rows(c, cap, C.COORD_OFFSET - 1)), jnp.int32(n), 3
+    )[None]
+    t_idx = jnp.flip(idx, axis=1)
+    # duality check: flipped == explicitly transposed
+    np.testing.assert_array_equal(
+        np.asarray(t_idx[0]),
+        np.asarray(R.transpose_rulebook(idx[0], cap)),
+    )
+    feats = jnp.asarray(pad_rows(f, cap, 0.0))[None]
+    wj = jnp.asarray(w)
+    cot = jnp.asarray(rng.normal(size=(1, cap, cout)).astype(np.float32))
+
+    gf1, gw1 = jax.grad(
+        lambda ff, ww: jnp.sum(SC.sparse_conv(ff, idx, ww) * cot), argnums=(0, 1)
+    )(feats, wj)
+    gf2, gw2 = jax.grad(
+        lambda ff, ww: jnp.sum(SC.sparse_conv_t(ff, idx, t_idx, ww) * cot),
+        argnums=(0, 1),
+    )(feats, wj)
+    np.testing.assert_allclose(np.asarray(gf1), np.asarray(gf2), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=1e-4, atol=1e-4)
+
+
+def test_down_up_rulebook_duality(rng):
+    cin = 3
+    c, f = setup_scene(rng, n=150, cin=cin)
+    cap = 256
+    n = len(c)
+    cpad = jnp.asarray(pad_rows(c, cap, C.COORD_OFFSET - 1))
+    oc, n_out, _ = R.downsample_sites(cpad, jnp.int32(n), 2, cap)
+    down = R.strided_rulebook(cpad, jnp.int32(n), oc, n_out, 2)
+    up = R.inverse_rulebook(oc, n_out, cpad, jnp.int32(n), 2)
+    np.testing.assert_array_equal(
+        np.asarray(up), np.asarray(R.transpose_rulebook(down, cap))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(down), np.asarray(R.transpose_rulebook(up, cap))
+    )
