@@ -7,6 +7,9 @@ from train import parse_overrides
 
 
 def main():
+    from sparse_rcnn_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=None)
     ap.add_argument("--set", action="append", dest="overrides")

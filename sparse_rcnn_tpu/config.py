@@ -65,6 +65,9 @@ class RPNConfig:
     # this many voxels at the RPN scale
     box_norm: float = 8.0
     rpn_scale: int = 0                    # decoder scale the RPN reads (0 = finest)
+    # multi-scale RPN: decoder scales to attach heads to (None → (rpn_scale,));
+    # proposals are pooled across scales before top-k + NMS
+    rpn_scales: Optional[Tuple[int, ...]] = None
 
 
 @dataclass(frozen=True)
@@ -159,4 +162,20 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) ->
             cfg = _update(cfg, yaml.safe_load(f) or {})
     if overrides:
         cfg = _update(cfg, overrides)
+    _validate(cfg)
     return cfg
+
+
+def _validate(cfg: Config) -> None:
+    roi = cfg.model.roi
+    if roi.mask_grid != 2 * roi.grid_size:
+        raise ValueError(
+            f"roi.mask_grid ({roi.mask_grid}) must equal 2*roi.grid_size "
+            f"({2 * roi.grid_size}): the mask head upsamples the RoI crop "
+            "exactly once"
+        )
+    if cfg.model.rpn.rpn_scale >= len(cfg.model.backbone.widths):
+        raise ValueError("rpn.rpn_scale out of range for backbone widths")
+    for s in cfg.model.rpn.rpn_scales or ():
+        if s >= len(cfg.model.backbone.widths):
+            raise ValueError(f"rpn_scales entry {s} out of range")

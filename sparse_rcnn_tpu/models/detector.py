@@ -54,14 +54,26 @@ class SparseRCNN(nn.Module):
             name="backbone",
         )(feats, scales, train)
 
-        s = self.cfg.rpn.rpn_scale
-        stride = 1 << s
-        rpn_sites = scales[s]
-        m = rpn_sites.coords.shape[1]
-        rpn_mask = jnp.arange(m, dtype=jnp.int32)[None, :] < rpn_sites.nvalid[:, None]
-        obj, boxes, deltas = RPNHead(
-            self.cfg.rpn, stride=stride, dtype=self.dtype, name="rpn"
-        )(outs[s], rpn_sites.coords, rpn_mask)
+        rpn_scales = self.cfg.rpn.rpn_scales or (self.cfg.rpn.rpn_scale,)
+        rpn_obj, rpn_boxes, rpn_deltas, rpn_masks = [], [], [], []
+        for s in rpn_scales:
+            stride = 1 << s
+            sites = scales[s]
+            m = sites.coords.shape[1]
+            smask = jnp.arange(m, dtype=jnp.int32)[None, :] < sites.nvalid[:, None]
+            obj_s, boxes_s, deltas_s = RPNHead(
+                self.cfg.rpn, stride=stride, dtype=self.dtype,
+                name="rpn" if s == rpn_scales[0] else f"rpn_s{s}",
+            )(outs[s], sites.coords, smask)
+            rpn_obj.append(obj_s)
+            rpn_boxes.append(boxes_s)
+            rpn_deltas.append(deltas_s)
+            rpn_masks.append(smask)
+
+        # pool candidates across scales before top-k + NMS
+        obj = jnp.concatenate(rpn_obj, axis=1)
+        boxes = jnp.concatenate(rpn_boxes, axis=1)
+        rpn_mask = jnp.concatenate(rpn_masks, axis=1)
 
         props, scores, pmask = select_proposals(obj, boxes, rpn_mask, self.cfg.rpn)
 
@@ -98,10 +110,11 @@ class SparseRCNN(nn.Module):
         )(roi_feats)
 
         out = {
-            "rpn_obj": obj,                    # [B, M_s]
-            "rpn_boxes": boxes,                # [B, M_s, 6]
-            "rpn_deltas": deltas,              # [B, M_s, 6]
-            "rpn_mask": rpn_mask,              # [B, M_s]
+            # per-RPN-scale tuples (losses need per-scale coords/strides)
+            "rpn_obj": tuple(rpn_obj),         # each [B, M_s]
+            "rpn_deltas": tuple(rpn_deltas),   # each [B, M_s, 6]
+            "rpn_mask": tuple(rpn_masks),      # each [B, M_s]
+            "rpn_boxes": tuple(rpn_boxes),     # each [B, M_s, 6]
             "proposals": props,                # [B, P, 6]
             "proposal_scores": scores,         # [B, P]
             "proposal_mask": pmask,            # [B, P]

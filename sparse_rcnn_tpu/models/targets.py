@@ -54,13 +54,15 @@ def rpn_targets(
     gt: SceneGT,
     box_norm: float,
     stride: int,
+    voxel_instance: jax.Array = None,
 ) -> RPNTargets:
-    """Per-voxel RPN targets at the RPN scale (default: finest, stride 1).
+    """Per-voxel RPN targets at one RPN scale.
 
     A voxel is positive iff it carries an instance id; it regresses to its
-    own instance's box.
+    own instance's box. For coarse scales pass ``voxel_instance`` pooled
+    down the hierarchy (see train.loop); default is the stride-1 labels.
     """
-    inst = gt.voxel_instance  # [B, M] (valid at stride 1 == RPN scale)
+    inst = voxel_instance if voxel_instance is not None else gt.voxel_instance
     pos = (inst >= 0) & row_mask
     safe = jnp.clip(inst, 0, gt.boxes.shape[1] - 1)
     matched_box = jnp.take_along_axis(

@@ -9,7 +9,7 @@ import jax
 import numpy as np
 
 from ..config import Config
-from ..utils.metrics import InstanceAPEvaluator
+from ..utils.metrics import InstanceAPEvaluator, SemanticMIoUEvaluator
 from . import loop as TL
 
 
@@ -39,6 +39,7 @@ def run_eval(
     eval_step=None,
 ) -> Dict[str, float]:
     ev = InstanceAPEvaluator(cfg.model.num_classes)
+    sem_ev = SemanticMIoUEvaluator(cfg.model.num_classes + 1)
     step = eval_step or TL.make_eval_step(cfg)
     seen = 0
     for bi, batch in enumerate(loader):
@@ -55,7 +56,16 @@ def run_eval(
             pinst = np.asarray(batch["point_instance"][b])
             gt_cls = np.asarray(gt.classes[b])
             ev.add_scene(masks, scores, pred_cls, pmask, pinst, gt_cls, point_valid)
+            if "point_semantic_pred" in out:
+                sem_ev.add(
+                    np.asarray(out["point_semantic_pred"][b])[point_valid],
+                    np.asarray(batch["point_semantic"][b])[point_valid],
+                )
             seen += 1
     res = ev.compute()
+    if "point_semantic_pred" in out:
+        sem = sem_ev.compute()
+        res["semantic_mIoU"] = sem["mIoU"]
+        res["semantic_acc"] = sem["accuracy"]
     res["scenes"] = seen
     return res

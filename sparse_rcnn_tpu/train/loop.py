@@ -100,14 +100,37 @@ def prepare_inputs(cfg: Config, batch: Dict[str, jax.Array]):
     return st, p2v, scales, gt, aux
 
 
+def pool_instance_labels(gt, scales):
+    """Per-scale voxel instance ids: max over each coarse voxel's children."""
+    levels = [gt.voxel_instance]
+    for s in range(len(scales) - 1):
+        idx = scales[s].down_idx  # [B, 8, M_{s+1}]
+        prev = levels[-1]
+
+        def one(v, ix):
+            safe = jnp.clip(ix, 0, v.shape[0] - 1)
+            g = jnp.where(ix >= 0, v[safe], -1)
+            return jnp.max(g, axis=0)
+
+        levels.append(jax.vmap(one)(prev, idx))
+    return levels
+
+
 def compute_losses(cfg: Config, out, scales, gt, row_mask):
     from ..models import paint_instance_masks
 
-    rt = rpn_targets(
-        scales[cfg.model.rpn.rpn_scale].coords, out["rpn_mask"], gt,
-        cfg.model.rpn.box_norm, 1 << cfg.model.rpn.rpn_scale,
-    )
-    obj_l, box_l = L.rpn_loss(out["rpn_obj"], out["rpn_deltas"], rt)
+    rpn_scales = cfg.model.rpn.rpn_scales or (cfg.model.rpn.rpn_scale,)
+    inst_levels = pool_instance_labels(gt, scales)
+    obj_l = box_l = 0.0
+    for i, s in enumerate(rpn_scales):
+        rt = rpn_targets(
+            scales[s].coords, out["rpn_mask"][i], gt,
+            cfg.model.rpn.box_norm, 1 << s,
+            voxel_instance=inst_levels[s],
+        )
+        o, bx = L.rpn_loss(out["rpn_obj"][i], out["rpn_deltas"][i], rt)
+        obj_l = obj_l + o / len(rpn_scales)
+        box_l = box_l + bx / len(rpn_scales)
     tt = roi_targets(
         out["crop_boxes"], out["proposal_mask"], scales[0].coords,
         scales[0].nvalid, gt, cfg.model,
@@ -198,13 +221,17 @@ def eval_step(cfg: Config, state: TrainState, batch: Dict[str, jax.Array]):
     point_logits = V.devoxelize(
         jnp.swapaxes(vox_logits, 1, 2), p2v, fill_value=-1e9
     )  # [B, N, P]
-    return {
+    result = {
         "proposal_scores": out["proposal_scores"],
         "proposal_mask": out["proposal_mask"],
         "cls_logits": out["cls_logits"],
         "point_mask_logits": jnp.swapaxes(point_logits, 1, 2),  # [B, P, N]
         "gt": gt,
     }
+    if cfg.model.use_semantic_head:
+        sem_pred = jnp.argmax(out["semantic_logits"], -1).astype(jnp.int32)
+        result["point_semantic_pred"] = V.devoxelize(sem_pred, p2v, fill_value=-1)
+    return result
 
 
 def make_eval_step(cfg: Config):

@@ -16,6 +16,34 @@ from typing import Dict, List, Sequence
 import numpy as np
 
 
+class SemanticMIoUEvaluator:
+    """Per-class IoU / mIoU over labeled voxels or points (aux semantic head)."""
+
+    def __init__(self, num_classes: int):
+        self.num_classes = num_classes
+        self._conf = np.zeros((num_classes, num_classes), np.int64)
+
+    def add(self, pred: np.ndarray, label: np.ndarray) -> None:
+        """pred int[N] predicted class, label int[N] (-1 = unlabeled)."""
+        keep = (label >= 0) & (label < self.num_classes) & (pred >= 0) & (
+            pred < self.num_classes
+        )
+        idx = label[keep] * self.num_classes + pred[keep]
+        self._conf += np.bincount(
+            idx, minlength=self.num_classes ** 2
+        ).reshape(self.num_classes, self.num_classes)
+
+    def compute(self) -> Dict[str, float]:
+        tp = np.diag(self._conf).astype(np.float64)
+        denom = self._conf.sum(0) + self._conf.sum(1) - tp
+        present = denom > 0
+        iou = np.where(present, tp / np.maximum(denom, 1), np.nan)
+        return {
+            "mIoU": float(np.nanmean(iou)) if present.any() else 0.0,
+            "accuracy": float(tp.sum() / max(self._conf.sum(), 1)),
+        }
+
+
 class InstanceAPEvaluator:
     """Accumulate scenes, then compute mAP at given IoU thresholds."""
 

@@ -85,3 +85,27 @@ def test_eval_step_outputs(cfg, batch):
     n = cfg.data.num_points
     assert out["point_mask_logits"].shape == (2, p, n)
     assert np.isfinite(np.asarray(out["cls_logits"])).all()
+
+
+def test_multiscale_rpn_train_step(cfg, batch):
+    import dataclasses
+    from sparse_rcnn_tpu.config import load_config
+    mcfg = load_config(overrides={
+        "data": {"num_points": 1024, "voxel_capacity": 512, "batch_size": 2,
+                  "voxel_size": [0.15, 0.15, 0.15]},
+        "model": {
+            "backbone": {"widths": [8, 16], "blocks_per_scale": 1},
+            "rpn": {"hidden": 16, "num_proposals": 8, "pre_nms_topk": 32,
+                     "rpn_scales": [0, 1]},
+            "roi": {"grid_size": 4, "hidden": 16, "mask_grid": 8},
+            "num_classes": 4, "max_instances": 8,
+        },
+        "train": {"lr": 3e-3, "warmup_steps": 2, "total_steps": 50},
+    })
+    state = TL.init_state(mcfg, batch)
+    step = TL.make_train_step(mcfg)
+    s2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["total"]))
+    # eval path runs too
+    out = TL.make_eval_step(mcfg)(s2, batch)
+    assert np.isfinite(np.asarray(out["cls_logits"])).all()

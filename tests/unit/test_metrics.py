@@ -78,3 +78,15 @@ def test_missed_instance_lowers_recall():
                  np.ones(1, bool), gt_instance, gt_classes, np.ones(n, bool))
     res = ev.compute()
     assert abs(res["mAP@0.5"] - 0.5) < 1e-6  # found 1 of 2
+
+
+def test_semantic_miou():
+    from sparse_rcnn_tpu.utils.metrics import SemanticMIoUEvaluator
+    ev = SemanticMIoUEvaluator(3)
+    label = np.array([0, 0, 1, 1, 2, 2, -1])
+    pred = np.array([0, 1, 1, 1, 2, 0, 0])
+    ev.add(pred, label)
+    res = ev.compute()
+    # class0: tp1, fp1(from cls2), fn1 -> IoU 1/3; class1: tp2 fp1 -> 2/3; class2: tp1 fn1 -> 1/2
+    assert abs(res["mIoU"] - np.mean([1/3, 2/3, 1/2])) < 1e-6
+    assert abs(res["accuracy"] - 4/6) < 1e-6

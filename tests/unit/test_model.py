@@ -104,7 +104,7 @@ def test_model_forward_and_losses(tiny_cfg, pipeline_state):
                      np.asarray(scales[0].coords.shape[1]) and
                      (jnp.arange(scales[0].coords.shape[1])[None] < scales[0].nvalid[:, None]),
                      gt, cfg.model.rpn.box_norm, 1)
-    obj_l, box_l = L.rpn_loss(out["rpn_obj"], out["rpn_deltas"], rt)
+    obj_l, box_l = L.rpn_loss(out["rpn_obj"][0], out["rpn_deltas"][0], rt)
     tt = roi_targets(out["crop_boxes"], out["proposal_mask"],
                      scales[0].coords, scales[0].nvalid, gt, cfg.model)
     cls_l = L.roi_cls_loss(out["cls_logits"], tt)
@@ -136,7 +136,7 @@ def test_model_grads_flow(tiny_cfg, pipeline_state):
         )
         mask0 = jnp.arange(st.capacity)[None] < scales[0].nvalid[:, None]
         rt = rpn_targets(scales[0].coords, mask0, gt, cfg.model.rpn.box_norm, 1)
-        obj_l, box_l = L.rpn_loss(out["rpn_obj"], out["rpn_deltas"], rt)
+        obj_l, box_l = L.rpn_loss(out["rpn_obj"][0], out["rpn_deltas"][0], rt)
         tt = roi_targets(out["crop_boxes"], out["proposal_mask"],
                          scales[0].coords, scales[0].nvalid, gt, cfg.model)
         vox_logits_raw, _ = paint_instance_masks(out, scales, masked=False)

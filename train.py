@@ -28,6 +28,9 @@ def parse_overrides(pairs):
 
 
 def main():
+    from sparse_rcnn_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=None)
     ap.add_argument("--set", action="append", dest="overrides",
