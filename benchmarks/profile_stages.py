@@ -1,0 +1,147 @@
+"""Stage-split profiler on the real chip: voxelize / hierarchy / fwd / train.
+
+Times each pipeline stage of the config-2-shaped workload (2cm density,
+BASELINE primary metric) — or any capacity via flags — so executor and
+rulebook changes can be judged by measured stage shares, not guesses
+(VERDICT r1 items 2/3/5).
+
+Usage:
+  python benchmarks/profile_stages.py [--cap 262144] [--batch 1] \
+      [--widths 32,64,96,128,160] [--blocks 2] [--dtype bfloat16] \
+      [--executor auto] [--iters 5] [--train] [--tiny]
+
+Prints one JSON line per stage: {"stage": ..., "ms_per_scene": ...}.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cap", type=int, default=262144)
+    ap.add_argument("--points", type=int, default=262144)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--widths", default="32,64,96,128,160")
+    ap.add_argument("--blocks", type=int, default=2)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--executor", default="auto")
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--voxel", type=float, default=0.02)
+    ap.add_argument("--train", action="store_true")
+    ap.add_argument("--proposals", type=int, default=128)
+    ap.add_argument("--stages", default="voxelize,hierarchy,eval")
+    args = ap.parse_args()
+
+    sys.path.insert(0, ".")
+    import bench
+
+    bench.enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparse_rcnn_tpu.config import load_config
+    from sparse_rcnn_tpu.data import synthetic
+    from sparse_rcnn_tpu.ops import hierarchy as H
+    from sparse_rcnn_tpu.ops import sparse_conv as SC
+    from sparse_rcnn_tpu.ops import voxelize as V
+    from sparse_rcnn_tpu.train import loop as TL
+
+    SC.set_executor_mode(args.executor)
+    widths = tuple(int(w) for w in args.widths.split(","))
+    cfg = load_config(overrides={
+        "data": {"num_points": args.points, "voxel_capacity": args.cap,
+                  "batch_size": args.batch,
+                  "voxel_size": [args.voxel] * 3},
+        "model": {
+            "backbone": {"widths": list(widths), "blocks_per_scale": args.blocks,
+                          "dtype": args.dtype},
+            "rpn": {"hidden": 128, "num_proposals": args.proposals,
+                     "pre_nms_topk": 4 * args.proposals, "rpn_scales": [0, 1]},
+            "roi": {"grid_size": 7, "hidden": 128, "mask_grid": 14},
+            "num_classes": 18, "max_instances": 64,
+        },
+    })
+    dev = jax.devices()[0]
+    print(f"# device={dev} cap={args.cap} widths={widths} "
+          f"dtype={args.dtype} executor={args.executor}", file=sys.stderr)
+
+    scenes = [
+        synthetic.generate_scene(7 + i, num_points=args.points,
+                                 num_instances=12, num_classes=18,
+                                 extent=8.0)
+        for i in range(args.batch)
+    ]
+    batch = {k: jnp.asarray(np.stack([s[k] for s in scenes]))
+             for k in scenes[0]}
+    vs = jnp.asarray(cfg.data.voxel_size)
+
+    def timed(name, fn, *xs, vary=None):
+        out = fn(*xs)
+        jax.block_until_ready(out)
+        variants = []
+        for i in range(args.iters):
+            ys = list(xs)
+            if vary is not None:
+                ys[vary] = jax.tree_util.tree_map(
+                    lambda a: a + jnp.zeros_like(a) + (i + 1) * 1e-6
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, ys[vary])
+            variants.append(tuple(jax.block_until_ready(ys)))
+        t0 = time.perf_counter()
+        outs = [fn(*v) for v in variants]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / args.iters
+        ms = dt * 1000.0 / args.batch
+        print(json.dumps({"stage": name, "ms_per_scene": round(ms, 2)}),
+              flush=True)
+        return out
+
+    want = set(args.stages.split(","))
+
+    vox = jax.jit(lambda p, f, v: V.voxelize_batch(p, f, v, vs, args.cap))
+    st, p2v, ovf = vox(batch["points"], batch["feats"], batch["valid"])
+    if "voxelize" in want:
+        timed("voxelize", vox, batch["points"], batch["feats"], batch["valid"],
+              vary=0)
+    print(f"# voxels/scene: {np.asarray(st.nvalid)}", file=sys.stderr)
+
+    caps = cfg.scale_capacities()
+    hier = jax.jit(lambda s: H.build_hierarchy(
+        s, len(widths), caps, cfg.model.backbone.kernel_size))
+    if "hierarchy" in want:
+        timed("hierarchy", hier, st, vary=0)
+
+    if "fwd" in want:
+        model = TL.build_model(cfg)
+        scales, _ = hier(st)
+        variables = model.init(jax.random.PRNGKey(0), st.feats, scales,
+                               train=False)
+
+        @jax.jit
+        def fwd(feats, scales):
+            return model.apply(variables, feats, scales, train=False)
+
+        timed("model_fwd", fwd, st.feats, scales, vary=0)
+
+    if "eval" in want or "train" in want or args.train:
+        state = TL.init_state(cfg, batch)
+        if "eval" in want:
+            estep = TL.make_eval_step(cfg)
+            timed("eval_step", lambda b: estep(state, b), batch, vary=0)
+        if "train" in want or args.train:
+            tstep = TL.make_train_step(cfg)
+            state2, _ = tstep(state, batch)
+            jax.block_until_ready(state2)
+
+            def one(b):
+                s2, m = tstep(state, b)
+                return m["total"]
+
+            timed("train_step", one, batch, vary=0)
+
+
+if __name__ == "__main__":
+    main()

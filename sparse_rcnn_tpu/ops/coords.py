@@ -115,6 +115,43 @@ def table_lookup(hi: jax.Array, lo: jax.Array, qhi: jax.Array, qlo: jax.Array) -
     return jnp.where(found, pos.astype(jnp.int32), -1)
 
 
+def _join_sorted(shi, slo, stag, m: int, q: int) -> jax.Array:
+    """Shared tail of the bulk lookups: resolve queries in a sorted key stream.
+
+    Input: (hi, lo, tag) sorted ascending by (key, tag) where table rows carry
+    tags < m (so they precede queries at equal keys), query rows carry tags in
+    [m, m+q), and any additional padding rows carry sentinel keys with tags
+    >= m + q. Returns int32[q]: the matching table row per query (original
+    query order) or -1.
+
+    Two native cumulative maxes replace a segmented scan (a custom
+    associative_scan compiles pathologically slowly here):
+      * table row ids appear in sorted order, so cummax of (stag if table)
+        is "row of last table entry at or before this position";
+      * that entry shares this position's key iff it lies in the current
+        run: last-table-position >= current run start.
+    """
+    n = shi.shape[0]
+    is_table = stag < m
+    # key-run boundaries (shifted compare; no gathers)
+    prev_hi = jnp.concatenate([jnp.array([SENTINEL_HI], jnp.uint32), shi[:-1]])
+    prev_lo = jnp.concatenate([jnp.array([SENTINEL_LO], jnp.uint32), slo[:-1]])
+    new_run = (shi != prev_hi) | (slo != prev_lo)
+    new_run = new_run.at[0].set(True)
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    row = lax.cummax(jnp.where(is_table, stag, -1))
+    last_table_pos = lax.cummax(jnp.where(is_table, pos, -1))
+    run_start = lax.cummax(jnp.where(new_run, pos, 0))
+    ok = (row >= 0) & (last_table_pos >= run_start) & (shi != SENTINEL_HI)
+    res = jnp.where(ok, row, -1)
+
+    # route query results back to input order (tags >= m+q, i.e. padding,
+    # fall out of range and are dropped)
+    dst = jnp.where(is_table, q, stag - m)  # table rows -> dropped slot
+    return jnp.full((q + 1,), -1, jnp.int32).at[dst].set(res, mode="drop")[:q]
+
+
 def table_lookup_bulk(
     hi: jax.Array, lo: jax.Array, qhi: jax.Array, qlo: jax.Array
 ) -> jax.Array:
@@ -141,31 +178,74 @@ def table_lookup_bulk(
         [jnp.arange(m, dtype=jnp.int32), m + jnp.arange(q, dtype=jnp.int32)]
     )
     shi, slo, stag = lax.sort((keys_hi, keys_lo, tag), num_keys=3)
+    return _join_sorted(shi, slo, stag, m, q).reshape(q_shape)
 
-    is_table = stag < m
-    # key-run boundaries (shifted compare; no gathers)
-    prev_hi = jnp.concatenate([jnp.array([SENTINEL_HI], jnp.uint32), shi[:-1]])
-    prev_lo = jnp.concatenate([jnp.array([SENTINEL_LO], jnp.uint32), slo[:-1]])
-    new_run = (shi != prev_hi) | (slo != prev_lo)
-    new_run = new_run.at[0].set(True)
 
-    # Two native cumulative maxes replace a segmented scan (a custom
-    # associative_scan compiles pathologically slowly here):
-    #   * table row ids appear in sorted order, so cummax of (stag if table)
-    #     is "row of last table entry at or before this position";
-    #   * that entry shares this position's key iff it lies in the current
-    #     run: last-table-position >= current run start.
-    pos = jnp.arange(m + q, dtype=jnp.int32)
-    row = lax.cummax(jnp.where(is_table, stag, -1))
-    last_table_pos = lax.cummax(jnp.where(is_table, pos, -1))
-    run_start = lax.cummax(jnp.where(new_run, pos, 0))
-    ok = (row >= 0) & (last_table_pos >= run_start) & (shi != SENTINEL_HI)
-    res = jnp.where(ok, row, -1)
+def merge_lookup(
+    hi: jax.Array, lo: jax.Array, qhi: jax.Array, qlo: jax.Array
+) -> jax.Array:
+    """Sorted-table lookup of PRE-SORTED queries via one bitonic merge.
 
-    # route query results back to input order
-    dst = jnp.where(is_table, q, stag - m)  # table rows -> dropped slot
-    out = jnp.full((q + 1,), -1, jnp.int32).at[dst].set(res, mode="drop")[:q]
-    return out.reshape(q_shape)
+    Semantics == :func:`table_lookup_bulk`, but requires ``(qhi, qlo)`` to be
+    ascending with sentinels last — which is exactly what rulebook queries
+    are: the (already sorted) site table shifted by a constant offset, since
+    translation preserves lexicographic order. Merging two sorted runs costs
+    log2(n) compare-exchange passes (pure elementwise + reshape, no gathers)
+    instead of a full ~log²(n)/2-pass sort: ~7x less data movement at 2cm
+    capacities, where rulebook sorts dominated the round-1 eval step
+    (BASELINE.md stage split).
+
+    Algorithm: [table asc | sentinel pad | reversed queries desc] is bitonic;
+    a classic bitonic merge sorts it in log2(n) stages; the run-detection /
+    scatter-back tail is shared with :func:`table_lookup_bulk`.
+    """
+    q_shape = qhi.shape
+    qh, ql = qhi.reshape(-1), qlo.reshape(-1)
+    m, q = hi.shape[0], qh.shape[0]
+    n = 1 << max(1, math.ceil(math.log2(m + q)))
+    pad = n - (m + q)
+
+    khi = jnp.concatenate(
+        [hi, jnp.full((pad,), SENTINEL_HI, jnp.uint32), qh[::-1]]
+    )
+    klo = jnp.concatenate(
+        [lo, jnp.full((pad,), SENTINEL_LO, jnp.uint32), ql[::-1]]
+    )
+    # tags: table < m, queries [m, m+q), padding >= m+q. Padding tags ascend
+    # and reversed-query tags descend, so the whole (key, tag) sequence is
+    # ascending-then-descending == bitonic.
+    tag = jnp.concatenate(
+        [
+            jnp.arange(m, dtype=jnp.int32),
+            m + q + jnp.arange(pad, dtype=jnp.int32),
+            (m + jnp.arange(q, dtype=jnp.int32))[::-1],
+        ]
+    )
+
+    d = n // 2
+    while d >= 1:
+        h = khi.reshape(-1, 2, d)
+        l = klo.reshape(-1, 2, d)
+        t = tag.reshape(-1, 2, d)
+        ah, bh = h[:, 0], h[:, 1]
+        al, bl = l[:, 0], l[:, 1]
+        at, bt = t[:, 0], t[:, 1]
+        # strict total order on (key_hi, key_lo, tag) — tags are distinct
+        swap = (ah > bh) | (
+            (ah == bh) & ((al > bl) | ((al == bl) & (at > bt)))
+        )
+        khi = jnp.stack(
+            [jnp.where(swap, bh, ah), jnp.where(swap, ah, bh)], axis=1
+        ).reshape(n)
+        klo = jnp.stack(
+            [jnp.where(swap, bl, al), jnp.where(swap, al, bl)], axis=1
+        ).reshape(n)
+        tag = jnp.stack(
+            [jnp.where(swap, bt, at), jnp.where(swap, at, bt)], axis=1
+        ).reshape(n)
+        d //= 2
+
+    return _join_sorted(khi, klo, tag, m, q).reshape(q_shape)
 
 
 def unique_coords(

@@ -75,15 +75,11 @@ def build_hierarchy(
         )
         if s < num_scales - 1:
             cap_next = capacities[s + 1]
-            oc, on, ovf = jax.vmap(
-                lambda c, n: rb.downsample_sites(c, n, 2, cap_next)
+            # one fused pass: coarse sites + down + up rulebooks from the
+            # unique-inverse map (no sort-merge lookups — see rulebook.py)
+            oc, on, ovf, down, up = jax.vmap(
+                lambda c, n: rb.downsample_with_rulebooks(c, n, 2, cap_next)
             )(coords, nvalid)
-            down = jax.vmap(lambda c, n, o, m: rb.strided_rulebook(c, n, o, m, 2))(
-                coords, nvalid, oc, on
-            )
-            up = jax.vmap(lambda o, m, c, n: rb.inverse_rulebook(o, m, c, n, 2))(
-                oc, on, coords, nvalid
-            )
             overflows.append(ovf)
             scales.append(
                 ScaleSet(coords=coords, nvalid=nvalid, subm_idx=subm,

@@ -59,8 +59,17 @@ def tap_accumulate_matmul(
     """
     k, m, cin = gathered.shape
     cout = weights.shape[-1]
-    tile_m = min(tile_m, m)
-    assert m % tile_m == 0, (m, tile_m)
+    # Pick the largest power-of-two tile that divides m (capacities are
+    # multiples of 128 but not always of 512 — config.scale_capacities());
+    # if m is not even tileable by 8, pad rows up to the next multiple.
+    m_pad = -(-m // 8) * 8
+    if m_pad != m:
+        gathered = jnp.pad(gathered, ((0, 0), (0, m_pad - m), (0, 0)))
+    tile = 8
+    while tile * 2 <= min(tile_m, m_pad) and m_pad % (tile * 2) == 0:
+        tile *= 2
+    tile_m, m_full = tile, m
+    m = m_pad
     out_dtype = jnp.promote_types(gathered.dtype, weights.dtype)
 
     grid = (m // tile_m, k)
@@ -88,7 +97,7 @@ def tap_accumulate_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(gathered, weights)
+    )(gathered, weights)[:m_full]
 
 
 def pallas_conv(

@@ -52,11 +52,15 @@ def submanifold_rulebook(
     """
     (hi, lo), mask = _sorted_keys(coords, nvalid)
     offsets = coord_ops.kernel_offsets(kernel_size, centered=True)
-    # all K offsets in ONE bulk sort-merge lookup (XLA 1-D gathers are slow
-    # on TPU; the binary-search path would gather per bisection step)
+    # Each offset's query set coords - δ is the sorted table shifted by a
+    # constant — still sorted — so a bitonic merge per offset (vmapped over
+    # K) replaces the monolithic 28·M-key sort: log(n) compare-exchange
+    # passes instead of ~log²(n)/2, no gathers either way.
     q = coords[None, :, :] - offsets[:, None, :]          # [K, M, 3]
     qhi, qlo = coord_ops.pack_coords(q, mask[None, :])
-    return coord_ops.table_lookup_bulk(hi, lo, qhi, qlo)
+    return jax.vmap(
+        lambda a, b: coord_ops.merge_lookup(hi, lo, a, b)
+    )(qhi, qlo)
 
 
 def downsample_sites(
@@ -73,6 +77,45 @@ def downsample_sites(
     coarse = jnp.where(mask[:, None], coords // stride, coord_ops.COORD_OFFSET - 1)
     ucoords, n_out, _, overflow = coord_ops.unique_coords(coarse, mask, capacity)
     return ucoords, n_out, overflow
+
+
+def downsample_with_rulebooks(
+    coords: jax.Array, nvalid: jax.Array, stride: int, capacity: int
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Coarse site set + down AND up rulebooks in one pass — no table lookups.
+
+    Floor-division by the stride is monotone per axis, so the parents of the
+    lexicographically sorted fine sites are themselves sorted: the ``inverse``
+    map from :func:`coords.unique_coords` IS the fine→coarse row assignment.
+    The down rulebook scatters fine rows by (child-offset code, parent row)
+    and the up rulebook is an elementwise select — this replaces the two
+    sort-merge lookups of :func:`strided_rulebook` / :func:`inverse_rulebook`
+    (kept below as oracles for tests) with O(M) elementwise work.
+
+    Returns (out_coords [capacity,3], n_out, overflow, down_idx [s³,capacity],
+    up_idx [s³, M]) with the exact conventions of the oracle functions.
+    """
+    m = coords.shape[0]
+    mask = jnp.arange(m, dtype=jnp.int32) < nvalid
+    parent = jnp.where(mask[:, None], coords // stride, coord_ops.COORD_OFFSET - 1)
+    ucoords, n_out, inverse, overflow = coord_ops.unique_coords(parent, mask, capacity)
+    child = coords - parent * stride                       # [m, 3] in [0, s)
+    # kernel_offsets(stride, centered=False) enumerates dx outer … dz inner
+    code = (child[:, 0] * stride + child[:, 1]) * stride + child[:, 2]
+    k = stride ** 3
+    ok = mask & (inverse >= 0)                             # overflow victims drop
+    kk = jnp.where(ok, code, k)                            # → scratch tap row
+    oo = jnp.where(ok, inverse, capacity)                  # → scratch site col
+    down = (
+        jnp.full((k + 1, capacity + 1), -1, jnp.int32)
+        .at[kk, oo].set(jnp.arange(m, dtype=jnp.int32), mode="drop")
+    )[:k, :capacity]
+    up = jnp.where(
+        (code[None, :] == jnp.arange(k, dtype=code.dtype)[:, None]) & ok[None, :],
+        inverse[None, :],
+        -1,
+    )
+    return ucoords, n_out, overflow, down, up
 
 
 def strided_rulebook(

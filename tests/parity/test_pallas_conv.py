@@ -52,3 +52,51 @@ def test_executor_mode_switch(rng):
     finally:
         SC.set_executor_mode("auto")
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_tap_accumulate_nondivisible_m(rng):
+    """tile_m no longer asserts on capacities that are multiples of 128 but
+    not of 512 (config.scale_capacities can produce e.g. 3456)."""
+    for m in (3456, 200, 8):
+        k, cin, cout = 3, 4, 8
+        g = jnp.asarray(rng.normal(size=(k, m, cin)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(k, cin, cout)).astype(np.float32))
+        out = PC.tap_accumulate_matmul(g, w, interpret=True)
+        expected = jnp.einsum("kmc,kcd->md", g, w)
+        assert out.shape == (m, cout)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_blocked_executor_matches_oracle(rng):
+    feats, idx, w = setup(rng)
+    a = np.asarray(SC.gather_matmul_conv(feats, idx, w))
+    # block smaller than M_out forces real tiling (incl. a ragged last tile)
+    b = np.asarray(SC.blocked_matmul_conv(feats, idx, w, block=100))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+    c = np.asarray(SC.blocked_matmul_conv(feats, idx, w, use_pallas=True,
+                                          block=128))
+    np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-4)
+
+
+def test_blocked_and_pallas_modes_grads(rng):
+    """Full custom-VJP parity for the blocked + pallas executor modes."""
+    feats, idx, w = setup(rng, n=80, cap=128)
+
+    def loss(mode):
+        try:
+            SC.set_executor_mode(mode)
+            def f(ff, ww):
+                return jnp.sum(SC.sparse_conv(ff, idx, ww) ** 2)
+            return jax.value_and_grad(f, argnums=(0, 1))(feats, w)
+        finally:
+            SC.set_executor_mode("auto")
+
+    (l0, (df0, dw0)) = loss("scan")
+    for mode in ("blocked", "pallas"):
+        l1, (df1, dw1) = loss(mode)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(df0), np.asarray(df1),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dw0), np.asarray(dw1),
+                                   rtol=1e-4, atol=1e-4)

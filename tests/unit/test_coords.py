@@ -111,3 +111,31 @@ def test_table_lookup_bulk_matches_binary_search(rng):
     q2 = jnp.stack([qhi.reshape(10, 50)] * 2), jnp.stack([qlo.reshape(10, 50)] * 2)
     bb = jax.vmap(lambda qh, ql: C.table_lookup_bulk(hi, lo, qh, ql))(*q2)
     np.testing.assert_array_equal(np.asarray(bb)[0].ravel(), a)
+
+
+def test_merge_lookup_matches_bulk(rng):
+    """Bitonic-merge lookup == sort-merge lookup on pre-sorted queries."""
+    import jax
+
+    for m_cap, n in [(256, 200), (96, 96), (128, 1)]:
+        c = np.unique(rng.integers(-9, 9, size=(n * 2, 3)).astype(np.int32), axis=0)
+        c = c[np.lexsort((c[:, 2], c[:, 1], c[:, 0]))][:n]
+        n = len(c)
+        pad = np.full((m_cap, 3), C.COORD_OFFSET - 1, np.int32)
+        pad[:n] = c
+        mask = np.arange(m_cap) < n
+        hi, lo = C.pack_coords(jnp.asarray(pad), jnp.asarray(mask))
+        # queries: the table shifted by constant offsets (sorted), incl. a
+        # shift of zero (all hits) and a large shift (all misses)
+        offsets = np.array([[0, 0, 0], [1, 0, -1], [-1, 1, 1], [50, 50, 50]],
+                           np.int32)
+        q = pad[None] - offsets[:, None]
+        qhi, qlo = C.pack_coords(jnp.asarray(q), jnp.asarray(mask)[None])
+        want = np.asarray(C.table_lookup_bulk(hi, lo, qhi, qlo))
+        got = np.asarray(
+            jax.vmap(lambda a, b: C.merge_lookup(hi, lo, a, b))(qhi, qlo)
+        )
+        np.testing.assert_array_equal(got, want)
+        # single (unvmapped) call too
+        got1 = np.asarray(C.merge_lookup(hi, lo, qhi[1], qlo[1]))
+        np.testing.assert_array_equal(got1, want[1])

@@ -137,3 +137,22 @@ def test_make_sparse_tensor_sorts(rng):
     # holds value perm[j] and coord c[perm[j]], so sorted row i (coord c[i])
     # must hold value i.
     np.testing.assert_array_equal(got_f, np.arange(len(c)))
+
+
+def test_downsample_with_rulebooks_matches_oracles(rng):
+    """Fused inverse-map path == (downsample_sites, strided, inverse) oracles."""
+    for coarse_cap in [512, 64]:  # 64 forces coarse-capacity overflow
+        c = sorted_unique_coords(rng, 300, -12, 12)
+        n, cap = len(c), 512
+        cpad = jnp.asarray(pad(c, cap))
+        nv = jnp.int32(n)
+        oc, n_out, ovf, down, up = R.downsample_with_rulebooks(
+            cpad, nv, 2, coarse_cap
+        )
+        oc_o, n_out_o, ovf_o = R.downsample_sites(cpad, nv, 2, coarse_cap)
+        np.testing.assert_array_equal(np.asarray(oc), np.asarray(oc_o))
+        assert int(n_out) == int(n_out_o) and int(ovf) == int(ovf_o)
+        down_o = R.strided_rulebook(cpad, nv, oc_o, n_out_o, 2)
+        up_o = R.inverse_rulebook(oc_o, n_out_o, cpad, nv, 2)
+        np.testing.assert_array_equal(np.asarray(down), np.asarray(down_o))
+        np.testing.assert_array_equal(np.asarray(up), np.asarray(up_o))
