@@ -221,13 +221,15 @@ class SyntheticDataset:
     """Deterministic generated scenes (tests/benchmarks; no files needed)."""
 
     def __init__(self, num_scenes: int, num_points: int, num_instances: int = 6,
-                 num_classes: int = 18, num_features: int = 3, seed: int = 0):
+                 num_classes: int = 18, num_features: int = 3, seed: int = 0,
+                 difficulty: str = "easy"):
         from . import synthetic
 
         self._gen = synthetic.generate_scene
         self.num_scenes = num_scenes
         self.kw = dict(num_points=num_points, num_instances=num_instances,
-                       num_classes=num_classes, num_features=num_features)
+                       num_classes=num_classes, num_features=num_features,
+                       difficulty=difficulty)
         self.seed = seed
 
     def __len__(self):
@@ -240,13 +242,14 @@ class SyntheticDataset:
 def build_dataset(cfg, split: str):
     """Factory from DataConfig.dataset."""
     d = cfg.data
-    if d.dataset == "synthetic":
+    if d.dataset in ("synthetic", "synthetic_hard"):
         # disjoint scene pools per split (seed offset), like real splits
         split_seed = {"train": 0, "val": 1, "test": 2}.get(split, 3)
         return SyntheticDataset(
             num_scenes=max(64, d.batch_size * 8), num_points=d.num_points,
             num_classes=cfg.model.num_classes, num_features=d.num_features,
             seed=split_seed,
+            difficulty="hard" if d.dataset == "synthetic_hard" else "easy",
         )
     if d.dataset == "scannet":
         return ScanNetDataset(d.data_root, split, d.num_points, d.num_features)

@@ -55,10 +55,21 @@ class Loader:
         self.dataset = build_dataset(cfg, split)
         self.seed = seed
         self.sharding = sharding
-        self._q: queue.Queue = queue.Queue(maxsize=max(1, cfg.data.prefetch))
+        # Training streams are order-free, so cfg.data.num_workers threads
+        # produce batches concurrently (augment + optional C++ voxelize are
+        # the host-side cost to hide — BASELINE config 5). Eval is a single
+        # ordered pass → one worker.
+        self._num_workers = max(1, cfg.data.num_workers) if train else 1
+        self._q: queue.Queue = queue.Queue(
+            maxsize=max(self._num_workers, cfg.data.prefetch)
+        )
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._worker, daemon=True)
-        self._thread.start()
+        self._threads = [
+            threading.Thread(target=self._worker, args=(w,), daemon=True)
+            for w in range(self._num_workers)
+        ]
+        for t in self._threads:
+            t.start()
 
     def _scene(self, idx: int, rng: np.random.Generator):
         scene = self.dataset[idx % len(self.dataset)]
@@ -71,8 +82,8 @@ class Loader:
                 scene = host_voxelize_scene(scene, self.cfg)
         return scene
 
-    def _worker(self):
-        rng = np.random.default_rng(self.seed)
+    def _worker(self, wid: int):
+        rng = np.random.default_rng((self.seed, wid))
         b = self.cfg.data.batch_size
         if self.train:
             while not self._stop.is_set():
@@ -95,18 +106,24 @@ class Loader:
             except queue.Full:
                 continue
 
+    def _to_device(self, item):
+        if item is None:
+            return None
+        if self.sharding is not None:
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self.sharding), item
+            )
+        return jax.tree_util.tree_map(jax.device_put, item)
+
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
-        while True:
-            item = self._q.get()
-            if item is None:
-                return
-            if self.sharding is not None:
-                item = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, self.sharding), item
-                )
-            else:
-                item = jax.tree_util.tree_map(jax.device_put, item)
-            yield item
+        # Double buffering: device_put is async, so starting the NEXT
+        # batch's H2D transfer before yielding the current one overlaps the
+        # copy with the consumer's device compute.
+        nxt = self._to_device(self._q.get())
+        while nxt is not None:
+            cur = nxt
+            nxt = self._to_device(self._q.get())
+            yield cur
 
     def close(self):
         self._stop.set()

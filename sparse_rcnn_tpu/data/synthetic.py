@@ -23,6 +23,7 @@ def generate_scene(
     num_classes: int = 18,
     num_features: int = 3,
     extent: float = 8.0,
+    difficulty: str = "easy",
 ) -> Dict[str, np.ndarray]:
     """One labeled scene, capacity-padded to ``num_points``.
 
@@ -30,7 +31,17 @@ def generate_scene(
     point_instance int32[N] (-1 = background), point_semantic int32[N]
     (-1 = unlabeled ceiling/noise; floor gets class 0-free encoding: walls/
     floor are labeled with a random non-instance class as well).
+
+    ``difficulty="hard"`` adds the failure modes the easy benchmark saturates
+    on (round-1 mAP@0.25 == mAP@0.5 — VERDICT r1 weak 5): clustered/touching
+    instances, rotated non-axis-aligned shapes (boxes, spheres, cylinders,
+    L-shapes), 10x point-density variation across instances, unlabeled
+    distractor clutter, and wall planes.
     """
+    if difficulty == "hard":
+        return _generate_hard_scene(
+            seed, num_points, num_instances, num_classes, num_features, extent
+        )
     rng = np.random.default_rng(seed)
     n_bg = num_points // 3
     n_fg = num_points - n_bg
@@ -73,6 +84,130 @@ def generate_scene(
     sem = np.concatenate([bg_sem] + fg_sem)
     bg_feat = rng.normal(0, 0.3, (n_bg, num_features))
     feats = np.concatenate([bg_feat] + fg_feat).astype(np.float32)
+
+    perm = rng.permutation(num_points)
+    return {
+        "points": points[perm],
+        "feats": feats[perm],
+        "valid": np.ones(num_points, bool),
+        "point_instance": inst[perm],
+        "point_semantic": sem[perm],
+    }
+
+
+def _sample_shape(rng, kind: str, cnt: int, size: np.ndarray) -> np.ndarray:
+    """cnt surface-ish points of a unit-ish shape, scaled by size[3]."""
+    if kind == "sphere":
+        v = rng.normal(size=(cnt, 3))
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-9)
+        r = rng.uniform(0.8, 1.0, (cnt, 1))  # thick shell
+        return v * r * size * 0.5
+    if kind == "cylinder":
+        theta = rng.uniform(0, 2 * np.pi, cnt)
+        z = rng.uniform(-0.5, 0.5, cnt)
+        rad = rng.uniform(0.8, 1.0, cnt) * 0.5
+        return np.stack(
+            [np.cos(theta) * rad * size[0], np.sin(theta) * rad * size[1],
+             z * size[2]], axis=1)
+    if kind == "lshape":
+        # two overlapping boxes: an upright arm + a foot
+        n1 = cnt // 2
+        a = rng.uniform(-0.5, 0.5, (n1, 3)) * size * [0.5, 1.0, 1.0]
+        b = rng.uniform(-0.5, 0.5, (cnt - n1, 3)) * size * [1.0, 1.0, 0.4]
+        b[:, 2] -= size[2] * 0.3
+        a[:, 0] -= size[0] * 0.25
+        return np.concatenate([a, b])
+    return rng.uniform(-0.5, 0.5, (cnt, 3)) * size  # box
+
+
+def _generate_hard_scene(
+    seed, num_points, num_instances, num_classes, num_features, extent
+) -> Dict[str, np.ndarray]:
+    rng = np.random.default_rng((seed, 777))
+    n_bg = num_points // 4
+    n_clutter = num_points // 16
+    n_fg = num_points - n_bg - n_clutter
+
+    # background: floor slab + two wall strips
+    n_floor = n_bg * 2 // 3
+    n_wall = n_bg - n_floor
+    floor = np.stack([rng.uniform(0, extent, n_floor),
+                      rng.uniform(0, extent, n_floor),
+                      rng.uniform(0, 0.15, n_floor)], axis=1)
+    wall_axis = rng.integers(0, 2)
+    wall = np.stack([rng.uniform(0, extent, n_wall),
+                     rng.uniform(0, 0.1, n_wall),
+                     rng.uniform(0, 2.5, n_wall)], axis=1)
+    if wall_axis == 1:
+        wall = wall[:, [1, 0, 2]]
+    bg_pts = np.concatenate([floor, wall])
+
+    class_rng = np.random.default_rng(12345)
+    class_colors = class_rng.uniform(-1, 1, (num_classes, num_features))
+    kinds = ("box", "sphere", "cylinder", "lshape")
+
+    k = int(rng.integers(max(2, num_instances - 2), num_instances + 1))
+    # clustered placement: instances within a cluster sit shoulder-to-
+    # shoulder (touching / near-overlapping) — contact is what separates
+    # mAP@0.5 from mAP@0.25
+    n_clusters = max(1, k // 3)
+    cluster_centers = rng.uniform(1.2, extent - 1.2, (n_clusters, 3))
+    cluster_centers[:, 2] = rng.uniform(0.4, 1.2, n_clusters)
+
+    # 10x density variation across instances
+    weights = rng.uniform(0.3, 3.0, k)
+    counts = np.maximum((weights / weights.sum() * n_fg).astype(int), 8)
+    counts[-1] += n_fg - counts.sum()
+
+    fg_pts, fg_inst, fg_sem, fg_feat = [], [], [], []
+    for i in range(k):
+        c = cluster_centers[i % n_clusters].copy()
+        size = rng.uniform(0.3, 1.1, 3)
+        # offset within the cluster by ~one size unit → frequent contact
+        c[:2] += rng.uniform(-0.7, 0.7, 2) * size[:2] * (i // n_clusters + 1)
+        c[2] = rng.uniform(0.3, 1.4)
+        cnt = int(counts[i])
+        kind = kinds[int(rng.integers(0, len(kinds)))]
+        pts = _sample_shape(rng, kind, cnt, size)
+        # random z-rotation + slight tilt: nothing stays axis-aligned
+        a = rng.uniform(0, 2 * np.pi)
+        tilt = rng.uniform(-0.15, 0.15)
+        rz = np.array([[np.cos(a), -np.sin(a), 0],
+                       [np.sin(a), np.cos(a), 0], [0, 0, 1]])
+        rx = np.array([[1, 0, 0], [0, np.cos(tilt), -np.sin(tilt)],
+                       [0, np.sin(tilt), np.cos(tilt)]])
+        pts = pts @ (rz @ rx).T + c
+        cls = int(rng.integers(0, num_classes))
+        fg_pts.append(pts)
+        fg_inst.append(np.full(cnt, i, np.int32))
+        fg_sem.append(np.full(cnt, cls, np.int32))
+        # weaker appearance cue than the easy benchmark (0.5 vs 0.3 noise)
+        fg_feat.append(class_colors[cls] + rng.normal(0, 0.5, (cnt, num_features)))
+
+    # distractor clutter: small unlabeled blobs (instance -1, semantic -1)
+    cl_pts = []
+    n_blobs = int(rng.integers(3, 8))
+    per_blob = np.full(n_blobs, n_clutter // n_blobs)
+    per_blob[-1] += n_clutter - per_blob.sum()
+    for j in range(n_blobs):
+        c = rng.uniform(0.5, extent - 0.5, 3)
+        c[2] = rng.uniform(0.1, 2.0)
+        cl_pts.append(c + rng.normal(0, 0.12, (int(per_blob[j]), 3)))
+    clutter = np.concatenate(cl_pts) if cl_pts else np.zeros((0, 3))
+
+    points = np.concatenate([bg_pts] + fg_pts + [clutter]).astype(np.float32)
+    inst = np.concatenate(
+        [np.full(n_bg, -1, np.int32)] + fg_inst
+        + [np.full(n_clutter, -1, np.int32)]
+    )
+    sem = np.concatenate(
+        [np.full(n_bg, -1, np.int32)] + fg_sem
+        + [np.full(n_clutter, -1, np.int32)]
+    )
+    feats = np.concatenate(
+        [rng.normal(0, 0.3, (n_bg, num_features))] + fg_feat
+        + [rng.normal(0, 0.3, (n_clutter, num_features))]
+    ).astype(np.float32)
 
     perm = rng.permutation(num_points)
     return {

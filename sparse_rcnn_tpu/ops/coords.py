@@ -146,10 +146,17 @@ def _join_sorted(shi, slo, stag, m: int, q: int) -> jax.Array:
     ok = (row >= 0) & (last_table_pos >= run_start) & (shi != SENTINEL_HI)
     res = jnp.where(ok, row, -1)
 
-    # route query results back to input order (tags >= m+q, i.e. padding,
-    # fall out of range and are dropped)
-    dst = jnp.where(is_table, q, stag - m)  # table rows -> dropped slot
-    return jnp.full((q + 1,), -1, jnp.int32).at[dst].set(res, mode="drop")[:q]
+    # Route query results back to input order. Table/padding rows get
+    # DISTINCT out-of-bounds destinations (q + pos): mode="drop" skips them,
+    # and distinctness (+ unique_indices) avoids the serialized-scatter
+    # slow path duplicate indices trigger on TPU.
+    # (padding rows land in [q, n-m) via stag - m; table rows in [n-m, 2n-m):
+    # disjoint, so the whole index set stays duplicate-free)
+    dst = jnp.where(is_table, (n - m) + pos, stag - m)
+    return (
+        jnp.full((q,), -1, jnp.int32)
+        .at[dst].set(res, mode="drop", unique_indices=True)
+    )
 
 
 def table_lookup_bulk(
@@ -179,6 +186,11 @@ def table_lookup_bulk(
     )
     shi, slo, stag = lax.sort((keys_hi, keys_lo, tag), num_keys=3)
     return _join_sorted(shi, slo, stag, m, q).reshape(q_shape)
+
+
+# Bitonic blocks at or below this length are finished with one batched
+# lax.sort instead of further (layout-hostile) small-distance stages.
+_MERGE_SORT_BLOCK = 2048
 
 
 def merge_lookup(
@@ -222,8 +234,15 @@ def merge_lookup(
         ]
     )
 
+    # Hybrid merge. Elementwise compare-exchange stages are only layout-
+    # friendly on TPU while the partner distance d keeps the minor reshape
+    # dimension large; small-d stages relayout pathologically (measured
+    # ~100x off roofline). So: run stages while d >= _MERGE_SORT_BLOCK,
+    # which leaves independent bitonic blocks of that length, then finish
+    # each block with ONE batched lax.sort along the minor axis (bitonic
+    # blocks sort in VMEM; the comparator matches the stage order exactly).
     d = n // 2
-    while d >= 1:
+    while d >= _MERGE_SORT_BLOCK:
         h = khi.reshape(-1, 2, d)
         l = klo.reshape(-1, 2, d)
         t = tag.reshape(-1, 2, d)
@@ -245,6 +264,15 @@ def merge_lookup(
         ).reshape(n)
         d //= 2
 
+    block = min(2 * d, n)  # bitonic block length still unmerged
+    if block > 1:
+        khi, klo, tag = lax.sort(
+            (khi.reshape(-1, block), klo.reshape(-1, block),
+             tag.reshape(-1, block)),
+            num_keys=3,
+        )
+        khi, klo, tag = khi.reshape(n), klo.reshape(n), tag.reshape(n)
+
     return _join_sorted(khi, klo, tag, m, q).reshape(q_shape)
 
 
@@ -252,6 +280,7 @@ def unique_coords(
     coords: jax.Array,
     valid: jax.Array,
     capacity: int,
+    assume_sorted: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Deduplicate coords [N, 3] into a sorted unique table of fixed capacity.
 
@@ -264,11 +293,18 @@ def unique_coords(
 
     The unique table keeps the *lexicographically smallest* ``capacity``
     coords on overflow (deterministic drop policy — SURVEY.md §7 inv. 1).
+
+    ``assume_sorted`` skips the sort entirely — correct whenever the caller
+    guarantees lexicographic order with invalid rows last (e.g. downsampling:
+    floor-division is monotone, so parents of sorted sites are sorted).
     """
     n = coords.shape[0]
     hi, lo = pack_coords(coords, valid)
     order = jnp.arange(n, dtype=jnp.int32)
-    shi, slo, sorder = lexsort_keys(hi, lo, order)
+    if assume_sorted:
+        shi, slo, sorder = hi, lo, order
+    else:
+        shi, slo, sorder = lexsort_keys(hi, lo, order)
     is_valid_sorted = shi != SENTINEL_HI
     prev_hi = jnp.concatenate([jnp.array([SENTINEL_HI], jnp.uint32), shi[:-1]])
     prev_lo = jnp.concatenate([jnp.array([SENTINEL_LO], jnp.uint32), slo[:-1]])
@@ -280,15 +316,25 @@ def unique_coords(
     overflow = n_unique_total - n_unique
 
     fits = (rank >= 0) & (rank < capacity) & is_valid_sorted
-    # scatter the first row of each unique group into the table
-    dst = jnp.where(is_new & fits, rank, capacity)  # capacity row = dropped
-    uhi = jnp.full((capacity + 1,), SENTINEL_HI, jnp.uint32).at[dst].set(shi, mode="drop")[:capacity]
-    ulo = jnp.full((capacity + 1,), SENTINEL_LO, jnp.uint32).at[dst].set(slo, mode="drop")[:capacity]
+    # scatter the first row of each unique group into the table; non-heads
+    # get distinct out-of-bounds slots (capacity + pos) so the index set is
+    # duplicate-free (duplicates serialize TPU scatters)
+    pos_n = jnp.arange(n, dtype=jnp.int32)
+    dst = jnp.where(is_new & fits, rank, capacity + pos_n)
+    uhi = jnp.full((capacity,), SENTINEL_HI, jnp.uint32).at[dst].set(
+        shi, mode="drop", unique_indices=True)
+    ulo = jnp.full((capacity,), SENTINEL_LO, jnp.uint32).at[dst].set(
+        slo, mode="drop", unique_indices=True)
     ucoords = unpack_coords(uhi, ulo)
 
     # inverse map back to original input order
     inv_sorted = jnp.where(fits, rank, -1)
-    inverse = jnp.full((n,), -1, jnp.int32).at[sorder].set(inv_sorted)
+    if assume_sorted:
+        inverse = inv_sorted
+    else:
+        # sorder is a permutation — duplicate-free by construction
+        inverse = jnp.zeros((n,), jnp.int32).at[sorder].set(
+            inv_sorted, unique_indices=True)
     return ucoords, n_unique, inverse, overflow
 
 

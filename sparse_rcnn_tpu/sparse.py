@@ -93,5 +93,8 @@ def make_sparse_tensor(
             order = jnp.arange(m, dtype=jnp.int32)
             _, _, sorder = coord_ops.lexsort_keys(hi, lo, order)
             return c[sorder], f[sorder]
-        coords, feats = jax.vmap(sort_one)(coords, feats, mask)
+        # unrolled over the static batch (flat sorts beat vmapped sorts)
+        outs = [sort_one(coords[i], feats[i], mask[i]) for i in range(b)]
+        coords = jnp.stack([o[0] for o in outs])
+        feats = jnp.stack([o[1] for o in outs])
     return SparseTensor(coords=coords, feats=feats, nvalid=nvalid, stride=stride)

@@ -117,7 +117,9 @@ def test_merge_lookup_matches_bulk(rng):
     """Bitonic-merge lookup == sort-merge lookup on pre-sorted queries."""
     import jax
 
-    for m_cap, n in [(256, 200), (96, 96), (128, 1)]:
+    # 4096-cap case drives the elementwise bitonic stages (n > sort block);
+    # the small cases drive the pure block-sort path.
+    for m_cap, n in [(4096, 3000), (256, 200), (96, 96), (128, 1)]:
         c = np.unique(rng.integers(-9, 9, size=(n * 2, 3)).astype(np.int32), axis=0)
         c = c[np.lexsort((c[:, 2], c[:, 1], c[:, 0]))][:n]
         n = len(c)
