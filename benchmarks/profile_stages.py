@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--proposals", type=int, default=128)
     ap.add_argument("--stages", default="voxelize,hierarchy,eval")
+    ap.add_argument("--dense", type=int, default=0,
+                    help="dense_from_scale (0 = fully sparse)")
+    ap.add_argument("--extent", default="512,512,256")
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -52,13 +55,17 @@ def main():
 
     SC.set_executor_mode(args.executor)
     widths = tuple(int(w) for w in args.widths.split(","))
+    bb = {"widths": list(widths), "blocks_per_scale": args.blocks,
+          "dtype": args.dtype}
+    if args.dense:
+        bb["dense_from_scale"] = args.dense
+        bb["grid_extent"] = [int(e) for e in args.extent.split(",")]
     cfg = load_config(overrides={
         "data": {"num_points": args.points, "voxel_capacity": args.cap,
                   "batch_size": args.batch,
                   "voxel_size": [args.voxel] * 3},
         "model": {
-            "backbone": {"widths": list(widths), "blocks_per_scale": args.blocks,
-                          "dtype": args.dtype},
+            "backbone": bb,
             "rpn": {"hidden": 128, "num_proposals": args.proposals,
                      "pre_nms_topk": 4 * args.proposals, "rpn_scales": [0, 1]},
             "roi": {"grid_size": 7, "hidden": 128, "mask_grid": 14},
@@ -103,6 +110,7 @@ def main():
 
     vox = jax.jit(lambda p, f, v: V.voxelize_batch(p, f, v, vs, args.cap))
     st, p2v, ovf = vox(batch["points"], batch["feats"], batch["valid"])
+    st, _ = V.rebase_coords(st)
     if "voxelize" in want:
         timed("voxelize", vox, batch["points"], batch["feats"], batch["valid"],
               vary=0)
@@ -110,7 +118,8 @@ def main():
 
     caps = cfg.scale_capacities()
     hier = jax.jit(lambda s: H.build_hierarchy(
-        s, len(widths), caps, cfg.model.backbone.kernel_size))
+        s, len(widths), caps, cfg.model.backbone.kernel_size,
+        subm_scales=cfg.model.backbone.dense_from_scale))
     if "hierarchy" in want:
         timed("hierarchy", hier, st, vary=0)
 

@@ -135,14 +135,86 @@ class TinyUNetTorch:
         return mask_logits.numpy(), cls_logits.numpy()
 
 
+class DeepUNetTorch:
+    """N-scale reference-style UNet twin (config-2 shape when widths has 5
+    entries and blocks_per_scale=2): dict-hash rulebooks + gather-GEMM-
+    scatter submanifold blocks per scale, k2s2 down/up, skip-concat."""
+
+    def __init__(self, cin: int, widths, blocks_per_scale: int = 1,
+                 num_classes: int = 18, seed: int = 0):
+        g = torch.Generator().manual_seed(seed)
+        def w(k, a, b):
+            return torch.randn((k, a, b), generator=g) * (2.0 / (k * a)) ** 0.5
+        self.widths = tuple(widths)
+        self.blocks = blocks_per_scale
+        ns = len(self.widths)
+        self.stem = w(27, cin, widths[0])
+        self.enc = [[w(27, widths[s], widths[s]) for _ in range(2 * blocks_per_scale)]
+                    for s in range(ns)]
+        self.down = [w(8, widths[s], widths[s + 1]) for s in range(ns - 1)]
+        self.up = [w(8, widths[s + 1], widths[s]) for s in range(ns - 1)]
+        self.dec_in = [w(27, 2 * widths[s], widths[s]) for s in range(ns - 1)]
+        self.dec = [[w(27, widths[s], widths[s])
+                     for _ in range(2 * blocks_per_scale - 1)]
+                    for s in range(ns - 1)]
+        self.mask_head = torch.randn((widths[0], 1), generator=g) * 0.1
+        self.cls_head = torch.randn((widths[0], num_classes + 1), generator=g) * 0.1
+
+    @torch.no_grad()
+    def forward(self, coords: np.ndarray, feats: np.ndarray):
+        ns = len(self.widths)
+        offs = kernel_offsets(3)
+        x = torch.from_numpy(feats)
+        level_coords, level_rules, skips, downs = [], [], [], []
+        for s in range(ns):
+            h = CoordHash(coords)
+            rules = h.rulebook(offs)
+            level_coords.append(coords)
+            level_rules.append(rules)
+            if s == 0:
+                x = subm_conv(x, rules, self.stem).relu()
+            for wk in self.enc[s]:
+                x = subm_conv(x, rules, wk).relu()
+            skips.append(x)
+            if s < ns - 1:
+                ccoords, inv, drules = down_rules(coords)
+                y = torch.zeros((len(ccoords), self.down[s].shape[-1]))
+                for k, (ins, outs) in enumerate(drules):
+                    if len(ins):
+                        y.index_add_(0, torch.from_numpy(outs),
+                                     x[torch.from_numpy(ins)] @ self.down[s][k])
+                x = y.relu()
+                downs.append((inv, coords))
+                coords = ccoords
+        for s in range(ns - 2, -1, -1):
+            inv, fcoords = downs[s]
+            child = fcoords - (fcoords // 2) * 2
+            kidx = child[:, 0] * 4 + child[:, 1] * 2 + child[:, 2]
+            upw = np.ascontiguousarray(self.up[s].numpy()[kidx])
+            up = torch.einsum("mc,mcd->md", x[torch.from_numpy(inv)],
+                              torch.from_numpy(upw)).relu()
+            x = torch.cat([up, skips[s]], dim=1)
+            x = subm_conv(x, level_rules[s], self.dec_in[s]).relu()
+            for wk in self.dec[s]:
+                x = subm_conv(x, level_rules[s], wk).relu()
+        mask = x @ self.mask_head
+        cls = x.mean(0, keepdim=True) @ self.cls_head
+        return mask, cls
+
+
 def measure_scenes_per_sec(
     scenes: List[Dict[str, np.ndarray]],
     voxel_size: float = 0.05,
     widths=(16, 32),
     num_classes: int = 6,
     repeats: int = 1,
+    blocks_per_scale: int = 0,
 ) -> Tuple[float, Dict]:
-    """Full reference-style pipeline timing: voxelize + rulebooks + net."""
+    """Full reference-style pipeline timing: voxelize + rulebooks + net.
+
+    ``blocks_per_scale`` > 0 switches to the deep N-scale twin (config-2
+    shape); 0 keeps the original tiny 2-scale twin (config-1 shape).
+    """
     torch.set_num_threads(torch.get_num_threads())  # default threading
     model = None
     t0 = time.perf_counter()
@@ -152,7 +224,11 @@ def measure_scenes_per_sec(
             coords, vfeats, _ = voxelize(s["points"], s["feats"], voxel_size)
             nvox.append(len(coords))
             if model is None:
-                model = TinyUNetTorch(vfeats.shape[1], widths, num_classes)
+                if blocks_per_scale:
+                    model = DeepUNetTorch(vfeats.shape[1], widths,
+                                          blocks_per_scale, num_classes)
+                else:
+                    model = TinyUNetTorch(vfeats.shape[1], widths, num_classes)
             model.forward(coords, vfeats)
     dt = time.perf_counter() - t0
     n = len(scenes) * repeats

@@ -52,6 +52,18 @@ class BackboneConfig:
     capacity_factor: float = 0.75
     # voxel capacity per scale; scale s defaults to voxel_capacity >> s
     capacities: Optional[Tuple[int, ...]] = None
+    # Dense tail: from this scale on, the backbone runs MASKED DENSE 3D
+    # convs on a [E/2^s]^3 grid instead of gather-GEMM sparse convs.
+    # Occupancy at stride >= 4 is high enough that dense MXU convs beat
+    # sparse gathers (which run at the TPU's slow random-row-gather rate),
+    # and those scales then need no rulebooks at all. Mathematically
+    # EQUIVALENT to the submanifold path (empty cells hold zero features;
+    # outputs are re-masked to the active set) — tests/parity asserts it.
+    # Requires grid_extent. None = fully sparse backbone.
+    dense_from_scale: Optional[int] = None
+    # stride-1 voxel-grid bounds [0, E) per axis for the dense tail; sites
+    # outside are dropped from the dense grid (deterministic drop policy)
+    grid_extent: Optional[Tuple[int, int, int]] = None
 
 
 @dataclass(frozen=True)
@@ -176,6 +188,19 @@ def _validate(cfg: Config) -> None:
         )
     if cfg.model.rpn.rpn_scale >= len(cfg.model.backbone.widths):
         raise ValueError("rpn.rpn_scale out of range for backbone widths")
+    dfs = cfg.model.backbone.dense_from_scale
+    if dfs is not None:
+        ns = len(cfg.model.backbone.widths)
+        if not 1 <= dfs <= ns - 1:
+            raise ValueError(f"dense_from_scale {dfs} must be in [1, {ns - 1}]")
+        ext = cfg.model.backbone.grid_extent
+        if ext is None:
+            raise ValueError("backbone.dense_from_scale requires backbone.grid_extent")
+        down = 1 << (ns - 1)
+        if any(e % down for e in ext):
+            raise ValueError(
+                f"grid_extent {ext} must be divisible by 2^(num_scales-1)={down}"
+            )
     for s in cfg.model.rpn.rpn_scales or ():
         if s >= len(cfg.model.backbone.widths):
             raise ValueError(f"rpn_scales entry {s} out of range")

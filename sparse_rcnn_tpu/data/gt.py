@@ -31,13 +31,21 @@ def build_scene_gt(
     voxel_capacity: int,
     voxel_size,
     max_instances: int,
+    base: jax.Array = None,
 ) -> SceneGT:
-    """Batched: points [B,N,3], labels int32[B,N], p2v int32[B,N] → SceneGT."""
-    vs = jnp.asarray(voxel_size, dtype=points.dtype)
+    """Batched: points [B,N,3], labels int32[B,N], p2v int32[B,N] → SceneGT.
 
-    def one(pts, vld, pinst, psem, pv):
+    ``base`` int32[B,3]: the per-scene integer rebase applied to voxel
+    coords (ops.voxelize.rebase_coords) — boxes get the same shift so GT
+    and voxel geometry share one frame.
+    """
+    vs = jnp.asarray(voxel_size, dtype=points.dtype)
+    if base is None:
+        base = jnp.zeros((points.shape[0], 3), jnp.int32)
+
+    def one(pts, vld, pinst, psem, pv, bs):
         n = pts.shape[0]
-        pos = pts / vs  # stride-1 voxel units
+        pos = pts / vs - bs.astype(pts.dtype)  # rebased stride-1 voxel units
 
         # --- per-voxel labels (segment max over the p2v map) ---
         seg_v = jnp.where((pv >= 0) & vld, pv, voxel_capacity)
@@ -80,7 +88,7 @@ def build_scene_gt(
         return boxes, icls.astype(jnp.int32), ivalid, vinst.astype(jnp.int32), vsem.astype(jnp.int32)
 
     boxes, classes, ivalid, vinst, vsem = jax.vmap(one)(
-        points, valid, point_instance, point_semantic, p2v
+        points, valid, point_instance, point_semantic, p2v, base
     )
     return SceneGT(
         boxes=boxes, classes=classes, valid=ivalid,

@@ -51,6 +51,8 @@ class SparseRCNN(nn.Module):
             kernel_size=bb.kernel_size,
             dtype=self.dtype,
             remat=bb.remat,
+            dense_from_scale=bb.dense_from_scale,
+            grid_extent=bb.grid_extent,
             name="backbone",
         )(feats, scales, train)
 

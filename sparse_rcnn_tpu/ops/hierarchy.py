@@ -42,7 +42,7 @@ class ScaleSet:
 
     coords: jax.Array
     nvalid: jax.Array
-    subm_idx: jax.Array
+    subm_idx: Optional[jax.Array] = None
     down_idx: Optional[jax.Array] = None
     up_idx: Optional[jax.Array] = None
 
@@ -52,6 +52,7 @@ def build_hierarchy(
     num_scales: int,
     capacities,
     kernel_size: int = 3,
+    subm_scales: Optional[int] = None,
 ):
     """Build all site sets and rulebooks for a ``num_scales``-deep UNet.
 
@@ -60,6 +61,9 @@ def build_hierarchy(
       num_scales: number of scales (>= 1).
       capacities: per-scale row capacities, len == num_scales.
       kernel_size: submanifold kernel (odd).
+      subm_scales: build submanifold rulebooks only for scales < this
+        (None = all). Scales handled by the dense backbone tail need site
+        sets (for gather-back) but no rulebooks — the dominant cost.
 
     Returns:
       (scales: List[ScaleSet], overflow: int32[B, num_scales-1] dropped
@@ -78,19 +82,30 @@ def build_hierarchy(
         outs = [fn(*(a[b] for a in args)) for b in range(coords.shape[0])]
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
 
+    n_subm = num_scales if subm_scales is None else subm_scales
     for s in range(num_scales):
-        subm = _map_scenes(
-            lambda c, n: rb.submanifold_rulebook(c, n, kernel_size),
-            coords, nvalid,
-        )
-        if s < num_scales - 1:
-            cap_next = capacities[s + 1]
-            # one fused pass: coarse sites + down + up rulebooks from the
-            # unique-inverse map (no sort-merge lookups — see rulebook.py)
-            oc, on, ovf, down, up = _map_scenes(
-                lambda c, n: rb.downsample_with_rulebooks(c, n, 2, cap_next),
+        subm = None
+        if s < n_subm:
+            subm = _map_scenes(
+                lambda c, n: rb.submanifold_rulebook(c, n, kernel_size),
                 coords, nvalid,
             )
+        if s < num_scales - 1:
+            cap_next = capacities[s + 1]
+            if s < n_subm:
+                # one fused pass: coarse sites + down + up rulebooks from
+                # the unique-inverse map (no sort-merge lookups)
+                oc, on, ovf, down, up = _map_scenes(
+                    lambda c, n: rb.downsample_with_rulebooks(c, n, 2, cap_next),
+                    coords, nvalid,
+                )
+            else:
+                # dense-tail scales: site set only, no conv rulebooks
+                oc, on, ovf = _map_scenes(
+                    lambda c, n: rb.downsample_sites(c, n, 2, cap_next),
+                    coords, nvalid,
+                )
+                down = up = None
             overflows.append(ovf)
             scales.append(
                 ScaleSet(coords=coords, nvalid=nvalid, subm_idx=subm,

@@ -115,4 +115,7 @@ def pallas_conv(
         return tap_accumulate_matmul(g, weights.astype(f.dtype),
                                      interpret=interpret)
 
-    return jax.vmap(per_scene)(feats, idx)
+    # unrolled over the static batch (batched gathers are slower than flat)
+    return jnp.stack([
+        per_scene(feats[i], idx[i]) for i in range(feats.shape[0])
+    ])

@@ -44,6 +44,17 @@ def _gather_rows(feats: jax.Array, idx: jax.Array) -> jax.Array:
     return g * (idx >= 0)[:, None].astype(g.dtype)
 
 
+def _unroll_scenes(fn, *args):
+    """Apply a per-scene fn over the (static) batch axis by unrolling.
+
+    vmap pushes gathers/sorts through XLA's batched emitters, which are
+    measured far slower than the flat forms on TPU even at B=1; the batch
+    is small and static, so unrolling is free.
+    """
+    b = args[0].shape[0]
+    return jnp.stack([fn(*(a[i] for a in args)) for i in range(b)])
+
+
 def gather_matmul_conv(
     feats: jax.Array, idx: jax.Array, weights: jax.Array
 ) -> jax.Array:
@@ -62,7 +73,7 @@ def gather_matmul_conv(
         acc, _ = lax.scan(step, init, (ix, weights))
         return acc
 
-    out = jax.vmap(per_scene)(feats, idx)
+    out = _unroll_scenes(per_scene, feats, idx)
     return out.astype(out_dtype)
 
 
@@ -103,7 +114,7 @@ def concat_matmul_conv(
             preferred_element_type=jnp.float32,
         )
 
-    out = jax.vmap(per_scene)(feats, idx)
+    out = _unroll_scenes(per_scene, feats, idx)
     return out.astype(out_dtype)
 
 
@@ -151,7 +162,7 @@ def blocked_matmul_conv(
         out = lax.map(tile_fn, tiles)                        # [nt, b, Cout]
         return out.reshape(nt * b, cout)[:m_out]
 
-    return jax.vmap(per_scene)(feats, idx).astype(out_dtype)
+    return _unroll_scenes(per_scene, feats, idx).astype(out_dtype)
 
 
 # Executor selection: "auto" picks im2col for small gather buffers and the
@@ -233,7 +244,7 @@ def _conv_dw(feats, idx, g, weights):
             )
             return acc
 
-    return jax.vmap(dw_scene)(feats, idx, g).sum(axis=0)
+    return _unroll_scenes(dw_scene, feats, idx, g).sum(axis=0)
 
 
 @jax.custom_vjp
@@ -256,7 +267,7 @@ def _bwd(res, g):
     g = g.astype(jnp.float32)
     d_w = _conv_dw(feats, idx, g, weights)
     # d_feats via transposed rulebook: pure gather, no scatter.
-    t_idx = jax.vmap(lambda ix: rb.transpose_rulebook(ix, m_in))(idx)
+    t_idx = _unroll_scenes(lambda ix: rb.transpose_rulebook(ix, m_in), idx)
     w_t = jnp.swapaxes(weights, -1, -2).astype(jnp.float32)  # [K, Cout, Cin]
     d_f = _pick(g, t_idx, w_t)(g, t_idx, w_t)
     return d_f.astype(feats.dtype), None, d_w.astype(weights.dtype)

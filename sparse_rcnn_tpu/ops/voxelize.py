@@ -93,6 +93,31 @@ def voxelize_batch(
     return st, p2v, ovf
 
 
+def rebase_coords(st, margin: int = 2):
+    """Shift each scene's coords so the minimum live coordinate sits at
+    ``margin`` (non-negative frame — required by the dense backbone tail,
+    harmless otherwise: integer translation commutes with every geometric
+    op bit-for-bit, and sorting order is translation-invariant).
+
+    Returns (rebased SparseTensor, base int32[B, 3]) with
+    ``new_coords == old_coords - base`` on live rows; padding rows keep the
+    sentinel. Callers must shift any point-derived geometry by the same
+    base (see train.loop.prepare_inputs / data.gt.build_scene_gt).
+    """
+    mask = st.row_mask
+    big = jnp.int32(coord_ops.COORD_OFFSET)
+    cmin = jnp.min(
+        jnp.where(mask[..., None], st.coords, big), axis=1
+    )  # [B, 3]
+    any_live = jnp.any(mask, axis=1)
+    base = jnp.where(any_live[:, None], cmin - margin, 0).astype(jnp.int32)
+    sentinel = coord_ops.COORD_OFFSET - 1
+    new_coords = jnp.where(
+        mask[..., None], st.coords - base[:, None, :], sentinel
+    )
+    return st.replace(coords=new_coords), base
+
+
 def devoxelize(voxel_values: jax.Array, p2v: jax.Array, fill_value=0):
     """Map per-voxel values [B, M, ...] back to points via p2v [B, N].
 

@@ -81,14 +81,20 @@ def prepare_inputs(cfg: Config, batch: Dict[str, jax.Array]):
             batch["points"], batch["feats"], batch["valid"], vs,
             cfg.data.voxel_capacity,
         )
+    # Integer per-scene rebase to non-negative coords: exact (integer
+    # translation commutes with every op bit-for-bit) and required by the
+    # dense backbone tail's [0, grid_extent) frame. GT boxes get the same
+    # shift below so all geometry stays in one frame.
+    st, base = V.rebase_coords(st, margin=2)
     scales, hovf = H.build_hierarchy(
         st, len(cfg.model.backbone.widths), cfg.scale_capacities(),
         cfg.model.backbone.kernel_size,
+        subm_scales=cfg.model.backbone.dense_from_scale,
     )
     gt = build_scene_gt(
         batch["points"], batch["valid"], batch["point_instance"],
         batch["point_semantic"], p2v, cfg.data.voxel_capacity, vs,
-        cfg.model.max_instances,
+        cfg.model.max_instances, base=base,
     )
     # overflow counters (BASELINE config 3: capacity-overflow paths must be
     # observable, not silent)
@@ -100,10 +106,15 @@ def prepare_inputs(cfg: Config, batch: Dict[str, jax.Array]):
     return st, p2v, scales, gt, aux
 
 
-def pool_instance_labels(gt, scales):
-    """Per-scale voxel instance ids: max over each coarse voxel's children."""
+def pool_instance_labels(gt, scales, max_level: int = None):
+    """Per-scale voxel instance ids: max over each coarse voxel's children.
+
+    Only levels [0, max_level] are built (dense-tail scales carry no
+    down rulebooks, and only RPN scales need pooled labels anyway).
+    """
+    n = len(scales) - 1 if max_level is None else max_level
     levels = [gt.voxel_instance]
-    for s in range(len(scales) - 1):
+    for s in range(n):
         idx = scales[s].down_idx  # [B, 8, M_{s+1}]
         prev = levels[-1]
 
@@ -120,7 +131,7 @@ def compute_losses(cfg: Config, out, scales, gt, row_mask):
     from ..models import paint_instance_masks
 
     rpn_scales = cfg.model.rpn.rpn_scales or (cfg.model.rpn.rpn_scale,)
-    inst_levels = pool_instance_labels(gt, scales)
+    inst_levels = pool_instance_labels(gt, scales, max_level=max(rpn_scales))
     obj_l = box_l = 0.0
     for i, s in enumerate(rpn_scales):
         rt = rpn_targets(

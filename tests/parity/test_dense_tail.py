@@ -1,0 +1,165 @@
+"""Dense-tail backbone == sparse submanifold backbone, exactly.
+
+The dense tail (models/unet.py) claims mathematical equivalence with the
+gather-GEMM sparse path: empty cells carry zero features, so a masked dense
+conv computes exactly the submanifold sum. This test converts a trained-
+shape sparse parameter tree into the dense tail's parameters (kernel
+reshape + the conv/convtranspose orientation flips derived in
+models/unet.py) and asserts the two full backbones agree on every scale.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparse_rcnn_tpu.config import load_config
+from sparse_rcnn_tpu.data import synthetic
+from sparse_rcnn_tpu.models.unet import SparseUNet
+from sparse_rcnn_tpu.ops import hierarchy as H
+from sparse_rcnn_tpu.ops import voxelize as V
+
+WIDTHS = (6, 10, 14)
+EXTENT = (64, 64, 64)
+
+
+def _inputs(batch_size=2):
+    b = synthetic.generate_batch(3, batch_size, num_points=4096,
+                                 num_instances=4, num_classes=5, extent=3.0)
+    pts, feats = jnp.asarray(b["points"]), jnp.asarray(b["feats"])
+    valid = jnp.asarray(b["valid"])
+    st, _, ovf = V.voxelize_batch(pts, feats, valid, jnp.asarray([0.05] * 3),
+                                  4096)
+    assert int(np.asarray(ovf).sum()) == 0
+    st, _ = V.rebase_coords(st)
+    # every site must fit the dense grid extent, or dense drops it and the
+    # equivalence claim doesn't apply
+    mask = np.asarray(st.row_mask)
+    cs = np.asarray(st.coords)
+    assert ((cs[mask] >= 0) & (cs[mask] < np.array(EXTENT))).all()
+    caps = (4096, 2048, 1024)
+    scales_full, hovf = H.build_hierarchy(st, 3, caps, 3)
+    assert int(np.asarray(hovf).sum()) == 0
+    return st, scales_full
+
+
+def _flip3(w):  # [27,Cin,Cout] -> [3,3,3,Cin,Cout] correlation kernel
+    return jnp.asarray(w).reshape(3, 3, 3, *w.shape[1:])[::-1, ::-1, ::-1]
+
+
+def _k2(w):     # [8,Cin,Cout] -> [2,2,2,Cin,Cout] (down conv: no flip)
+    return jnp.asarray(w).reshape(2, 2, 2, *w.shape[1:])
+
+
+def _k2t(w):    # [8,Cin,Cout] -> ConvTranspose kernel (flip)
+    return jnp.asarray(w).reshape(2, 2, 2, *w.shape[1:])[::-1, ::-1, ::-1]
+
+
+def _convert(sparse_params, s0, ns, blocks):
+    """Sparse backbone tree -> dense-tail tree: every (enc|dec|down|up){s}
+    entry with s >= s0 moves under dense_tail/, conv kernels converted.
+    Works on both the params tree and the batch_stats tree (which has no
+    conv entries)."""
+    def scale_of(name):
+        for p in ("enc", "dec", "up", "down"):
+            if name.startswith(p) and name[len(p)].isdigit():
+                return int(name[len(p)])
+        return None
+
+    dst, tail = {}, {}
+    for name, v in sparse_params.items():
+        s = scale_of(name)
+        if s is None or s < s0:
+            dst[name] = v
+            continue
+        if name.endswith("_bn"):
+            tail[name] = v
+        elif name.endswith("down" + str(s) + "_conv") or name == f"down{s}_conv":
+            tail[name] = {"kernel": _k2(v["kernel"])}
+        elif name == f"up{s}_conv":
+            tail[name] = {"kernel": _k2t(v["kernel"])}
+        else:  # enc/dec block
+            new = {}
+            for sub, sv in v.items():
+                if sub.startswith("conv") or sub == "proj":
+                    if "conv" in sv:        # params tree (SubMConv3d wrapper)
+                        w = sv["conv"]["kernel"]
+                        new[sub] = {"kernel": (
+                            _flip3(w) if w.shape[0] == 27
+                            else jnp.asarray(w).reshape(1, 1, 1, *w.shape[1:])
+                        )}
+                    else:                    # stats tree: nothing to convert
+                        new[sub] = sv
+                else:
+                    new[sub] = sv
+            tail[name] = new
+    dst["dense_tail"] = tail
+    return dst
+
+
+def test_dense_tail_equivalence():
+    st, scales = _inputs()
+    s0, ns, blocks = 1, len(WIDTHS), 1
+    rng = jax.random.PRNGKey(0)
+
+    sparse_net = SparseUNet(widths=WIDTHS, blocks_per_scale=blocks)
+    vs = sparse_net.init(rng, st.feats, scales, False)
+    # randomize BN stats so eval mode actually exercises them
+    stats = jax.tree_util.tree_map(
+        lambda x: x + 0.1 * jax.random.normal(rng, x.shape) ** 2,
+        vs["batch_stats"],
+    )
+    sparse_out = sparse_net.apply(
+        {"params": vs["params"], "batch_stats": stats},
+        st.feats, scales, False)
+
+    dense_net = SparseUNet(widths=WIDTHS, blocks_per_scale=blocks,
+                           dense_from_scale=s0, grid_extent=EXTENT)
+    sp = vs["params"]["stem"]  # keep naming sanity-checked
+    assert "conv" in sp
+    dparams = _convert(dict(vs["params"]), s0, ns, blocks)
+    dstats = _convert(dict(stats), s0, ns, blocks)
+    dense_out = dense_net.apply(
+        {"params": dparams, "batch_stats": dstats},
+        st.feats, scales, False)
+
+    for s in range(ns):
+        a, b = np.asarray(sparse_out[s]), np.asarray(dense_out[s])
+        np.testing.assert_allclose(
+            a, b, rtol=2e-3, atol=2e-3,
+            err_msg=f"scale {s} dense != sparse")
+
+
+def test_dense_tail_train_step_matches_structure():
+    """Dense-mode training end to end: finite loss + grads flow to the
+    dense tail's params."""
+    from sparse_rcnn_tpu.train import loop as TL
+
+    cfg = load_config(overrides={
+        "data": {"num_points": 4096, "voxel_capacity": 4096, "batch_size": 2,
+                  "voxel_size": [0.05] * 3},
+        "model": {"backbone": {"widths": list(WIDTHS), "blocks_per_scale": 1,
+                                "dense_from_scale": 1,
+                                "grid_extent": [64, 64, 64]},
+                   "rpn": {"hidden": 8, "num_proposals": 8,
+                            "pre_nms_topk": 32, "rpn_scales": [0, 1]},
+                   "roi": {"grid_size": 4, "hidden": 8, "mask_grid": 8},
+                   "num_classes": 5, "max_instances": 8},
+        "train": {"warmup_steps": 1, "total_steps": 10},
+    })
+    b = synthetic.generate_batch(0, 2, num_points=4096, num_instances=4,
+                                 num_classes=5, extent=3.0)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    state = TL.init_state(cfg, batch)
+    assert "dense_tail" in state.params["backbone"]
+    # snapshot before the step — make_train_step donates the state
+    w0 = np.asarray(
+        state.params["backbone"]["dense_tail"]["enc1_block0"]["conv1"]["kernel"]
+    )
+    step = TL.make_train_step(cfg)
+    state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["total"]))
+    # second step: past LR warmup (step 0 has lr == 0), kernels must move
+    state3, metrics = step(state2, batch)
+    assert np.isfinite(float(metrics["total"]))
+    w1 = state3.params["backbone"]["dense_tail"]["enc1_block0"]["conv1"]["kernel"]
+    assert not np.allclose(w0, np.asarray(w1))
