@@ -102,13 +102,15 @@ def bench_config2():
         pass
     mfu = (flops * eval_sps / V5E_BF16_PEAK_FLOPS) if flops else None
 
+    # train step DONATES its input state — carry the returned one
     tstep = TL.make_train_step(cfg)
-
-    def train_once(b):
-        s2, m = tstep(state, b)
-        return m["total"]
-
-    train_sps = _timed_sps(train_once, batches, 1)
+    s, m = tstep(state, batches[-1])
+    jax.block_until_ready(m["total"])
+    t0 = time.perf_counter()
+    for b in batches:
+        s, m = tstep(s, b)
+    jax.block_until_ready(m["total"])
+    train_sps = len(batches) / (time.perf_counter() - t0)
     mean_vox = float(np.mean([208073]))  # logged voxels/scene at this shape
     return {
         "eval_sps": round(eval_sps, 3),

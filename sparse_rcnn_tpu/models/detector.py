@@ -101,11 +101,15 @@ class SparseRCNN(nn.Module):
 
         crop_boxes = expand_boxes(props, self.cfg.roi.expand)
 
-        roi_feats = jax.vmap(
-            lambda c, n, f, bx: roi_ops.roi_crop(
-                c, n, f, bx, self.cfg.roi.grid_size, stride=1
+        # unrolled over the static batch: the crop's bulk lookup sorts hit
+        # XLA's slow batched emitters under vmap (see CLAUDE.md invariants)
+        roi_feats = jnp.stack([
+            roi_ops.roi_crop(
+                scales[0].coords[b], scales[0].nvalid[b], outs[0][b],
+                crop_boxes[b], self.cfg.roi.grid_size, stride=1,
             )
-        )(scales[0].coords, scales[0].nvalid, outs[0], crop_boxes)
+            for b in range(crop_boxes.shape[0])
+        ])
 
         cls_logits, mask_logits = RoIHead(
             self.cfg.roi, self.cfg.num_classes, dtype=self.dtype, name="roi_head"
@@ -149,12 +153,14 @@ def paint_instance_masks(
     coords0 = scales[0].coords
     centers = coords0.astype(jnp.float32) + 0.5
 
-    def one(mask_logits, boxes, pos):
-        return sample_mask_at_positions(mask_logits, boxes, pos)
-
-    logits, inside = jax.vmap(one)(
-        outputs["mask_logits"], outputs["crop_boxes"], centers
-    )
+    outs = [
+        sample_mask_at_positions(
+            outputs["mask_logits"][b], outputs["crop_boxes"][b], centers[b]
+        )
+        for b in range(coords0.shape[0])
+    ]
+    logits = jnp.stack([o[0] for o in outs])
+    inside = jnp.stack([o[1] for o in outs])
     if masked:
         logits = jnp.where(inside, logits, -1e9)
     return logits, inside
