@@ -17,6 +17,7 @@ from flax import linen as nn
 
 from ..config import ModelConfig
 from ..ops import roi as roi_ops
+from ..ops.batching import map_scenes
 from ..ops.hierarchy import ScaleSet
 from .heads import RoIHead, SemanticHead, sample_mask_at_positions
 from .rpn import RPNHead, select_proposals
@@ -101,15 +102,13 @@ class SparseRCNN(nn.Module):
 
         crop_boxes = expand_boxes(props, self.cfg.roi.expand)
 
-        # unrolled over the static batch: the crop's bulk lookup sorts hit
-        # XLA's slow batched emitters under vmap (see CLAUDE.md invariants)
-        roi_feats = jnp.stack([
-            roi_ops.roi_crop(
-                scales[0].coords[b], scales[0].nvalid[b], outs[0][b],
-                crop_boxes[b], self.cfg.roi.grid_size, stride=1,
-            )
-            for b in range(crop_boxes.shape[0])
-        ])
+        # batch policy (unroll vs vmap): ops/batching.py
+        roi_feats = map_scenes(
+            lambda c, n, f, bx: roi_ops.roi_crop(
+                c, n, f, bx, self.cfg.roi.grid_size, stride=1,
+            ),
+            scales[0].coords, scales[0].nvalid, outs[0], crop_boxes,
+        )
 
         cls_logits, mask_logits = RoIHead(
             self.cfg.roi, self.cfg.num_classes, dtype=self.dtype, name="roi_head"
@@ -153,14 +152,10 @@ def paint_instance_masks(
     coords0 = scales[0].coords
     centers = coords0.astype(jnp.float32) + 0.5
 
-    outs = [
-        sample_mask_at_positions(
-            outputs["mask_logits"][b], outputs["crop_boxes"][b], centers[b]
-        )
-        for b in range(coords0.shape[0])
-    ]
-    logits = jnp.stack([o[0] for o in outs])
-    inside = jnp.stack([o[1] for o in outs])
+    logits, inside = map_scenes(
+        sample_mask_at_positions,
+        outputs["mask_logits"], outputs["crop_boxes"], centers,
+    )
     if masked:
         logits = jnp.where(inside, logits, -1e9)
     return logits, inside

@@ -74,13 +74,9 @@ def build_hierarchy(
     scales: List[ScaleSet] = []
     overflows = []
 
-    # Per-scene work is UNROLLED over the (static) batch instead of vmapped:
-    # lax.sort under vmap takes XLA's batched-sort emitter, measured 2.5x
-    # slower than the flat path on v5e even at B=1 — and sorts dominate
-    # rulebook construction.
-    def _map_scenes(fn, *args):
-        outs = [fn(*(a[b] for a in args)) for b in range(coords.shape[0])]
-        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+    # per-scene work unrolled on single chip, vmapped under GSPMD — see
+    # ops/batching.py for the measured policy
+    from .batching import map_scenes as _map_scenes
 
     n_subm = num_scales if subm_scales is None else subm_scales
     for s in range(num_scales):

@@ -115,7 +115,6 @@ def pallas_conv(
         return tap_accumulate_matmul(g, weights.astype(f.dtype),
                                      interpret=interpret)
 
-    # unrolled over the static batch (batched gathers are slower than flat)
-    return jnp.stack([
-        per_scene(feats[i], idx[i]) for i in range(feats.shape[0])
-    ])
+    from .batching import map_scenes
+
+    return map_scenes(per_scene, feats, idx)

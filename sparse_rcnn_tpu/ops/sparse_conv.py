@@ -44,15 +44,7 @@ def _gather_rows(feats: jax.Array, idx: jax.Array) -> jax.Array:
     return g * (idx >= 0)[:, None].astype(g.dtype)
 
 
-def _unroll_scenes(fn, *args):
-    """Apply a per-scene fn over the (static) batch axis by unrolling.
-
-    vmap pushes gathers/sorts through XLA's batched emitters, which are
-    measured far slower than the flat forms on TPU even at B=1; the batch
-    is small and static, so unrolling is free.
-    """
-    b = args[0].shape[0]
-    return jnp.stack([fn(*(a[i] for a in args)) for i in range(b)])
+from .batching import map_scenes as _unroll_scenes  # noqa: E402 (policy: ops/batching.py)
 
 
 def gather_matmul_conv(

@@ -93,8 +93,7 @@ def make_sparse_tensor(
             order = jnp.arange(m, dtype=jnp.int32)
             _, _, sorder = coord_ops.lexsort_keys(hi, lo, order)
             return c[sorder], f[sorder]
-        # unrolled over the static batch (flat sorts beat vmapped sorts)
-        outs = [sort_one(coords[i], feats[i], mask[i]) for i in range(b)]
-        coords = jnp.stack([o[0] for o in outs])
-        feats = jnp.stack([o[1] for o in outs])
+        from .ops.batching import map_scenes
+
+        coords, feats = map_scenes(sort_one, coords, feats, mask)
     return SparseTensor(coords=coords, feats=feats, nvalid=nvalid, stride=stride)
