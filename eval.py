@@ -45,7 +45,8 @@ def main():
         yield first
         yield from it
 
-    res = run_eval(cfg, state, batches(), max_batches=args.max_batches)
+    res = run_eval(cfg, state, batches(), max_batches=args.max_batches,
+                   num_scenes=len(loader.dataset))
     log.log("eval", **res)
     loader.close()
 

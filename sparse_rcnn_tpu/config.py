@@ -204,3 +204,13 @@ def _validate(cfg: Config) -> None:
     for s in cfg.model.rpn.rpn_scales or ():
         if s >= len(cfg.model.backbone.widths):
             raise ValueError(f"rpn_scales entry {s} out of range")
+    if dfs is not None:
+        # pool_instance_labels consumes scales[s].down_idx for every scale
+        # below the topmost RPN scale; dense-tail scales carry no rulebooks,
+        # so an RPN scale above dense_from_scale would crash at trace time.
+        top_rpn = max(cfg.model.rpn.rpn_scales or (cfg.model.rpn.rpn_scale,))
+        if top_rpn > dfs:
+            raise ValueError(
+                f"max RPN scale ({top_rpn}) must be <= dense_from_scale "
+                f"({dfs}): scales past the dense tail have no down rulebooks"
+            )

@@ -83,7 +83,11 @@ def sample_mask_at_positions(
         cells.append(jnp.clip((rel * g).astype(jnp.int32), 0, g - 1))
     cx, cy, cz = cells
 
-    chunk = 32 if p % 32 == 0 else p
+    # largest divisor of p that is <= 32, so the [chunk, N, G] transient
+    # stays bounded for ANY proposal budget (p itself only when p is prime
+    # and < 32; a non-divisible p like 500 previously degenerated to one
+    # unbounded chunk of size p)
+    chunk = max(c for c in range(1, min(32, p) + 1) if p % c == 0)
     nc = p // chunk
     zoh_range = jnp.arange(g, dtype=jnp.int32)
 

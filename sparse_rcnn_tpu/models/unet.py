@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.batching import map_scenes as _map_scenes
 from ..ops.hierarchy import ScaleSet
 from .layers import MaskedBatchNorm, SparseBasicBlock, SparseConv, SubMConv3d
 
@@ -66,8 +67,9 @@ def scatter_to_grid(
         )
         return grid.reshape(dx, dy, dz, c), occ.reshape(dx, dy, dz)
 
-    outs = [one(coords[i], nvalid[i], feats[i]) for i in range(b)]
-    return (jnp.stack([o[0] for o in outs]), jnp.stack([o[1] for o in outs]))
+    # batch policy (ops/batching.py): unroll single-chip, vmap under GSPMD
+    # so every device only touches its own scenes at the dense-tail seam
+    return _map_scenes(one, coords, nvalid, feats)
 
 
 def gather_from_grid(
@@ -86,7 +88,7 @@ def gather_from_grid(
         rows = g.reshape(-1, c)[jnp.where(inb, flat, 0)]
         return rows * inb[:, None].astype(rows.dtype)
 
-    return jnp.stack([one(grid[i], coords[i], nvalid[i]) for i in range(b)])
+    return _map_scenes(one, grid, coords, nvalid)
 
 
 class DenseBasicBlock(nn.Module):

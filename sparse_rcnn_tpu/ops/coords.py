@@ -294,9 +294,14 @@ def unique_coords(
     The unique table keeps the *lexicographically smallest* ``capacity``
     coords on overflow (deterministic drop policy — SURVEY.md §7 inv. 1).
 
-    ``assume_sorted`` skips the sort entirely — correct whenever the caller
-    guarantees lexicographic order with invalid rows last (e.g. downsampling:
-    floor-division is monotone, so parents of sorted sites are sorted).
+    ``assume_sorted`` skips the sort entirely — correct ONLY when the caller
+    guarantees lexicographic order with invalid rows last. The one production
+    caller is the host-voxelized input path (``train/loop.py``): the C++
+    voxelizer emits sorted tables by contract. Downsampled parents are NOT
+    sorted (floor-division collapses x values, after which order falls back
+    to y — see the NOTE in ``rulebook.downsample_with_rulebooks``); nothing
+    here validates sortedness, so a wrong ``assume_sorted=True`` silently
+    corrupts the table.
     """
     n = coords.shape[0]
     hi, lo = pack_coords(coords, valid)

@@ -189,8 +189,13 @@ def inverse_rulebook(
 def transpose_rulebook(idx: jax.Array, m_in: int) -> jax.Array:
     """Invert a rulebook: t_idx[k, j] = i where idx[k, i] == j, else -1.
 
-    Valid because each per-offset map is injective. Used by the custom VJP
-    so the backward pass is gathers too (SURVEY.md §7 invariant 4).
+    PRECONDITION: each per-offset row ``idx[k, :]`` must be injective on its
+    non-negative entries (no input row referenced twice by one tap). All
+    conv rulebooks here satisfy this by construction (a site has at most one
+    neighbor at a fixed offset). The scatter below passes
+    ``unique_indices=True``, so violating it gives undefined results (not
+    last-write-wins). Used by the custom VJP so the backward pass is gathers
+    too (SURVEY.md §7 invariant 4).
     """
     k, m_out = idx.shape
     src = jnp.broadcast_to(jnp.arange(m_out, dtype=jnp.int32)[None, :], (k, m_out))

@@ -37,10 +37,20 @@ def run_eval(
     loader,
     max_batches: Optional[int] = None,
     eval_step=None,
+    num_scenes: Optional[int] = None,
 ) -> Dict[str, float]:
+    """Score ``loader``'s batches. ``num_scenes`` (the eval split size) makes
+    the wrap-padded tail of the last batch score each scene exactly once:
+    the eval Loader pads ``n % batch_size`` by wrapping to the split's start
+    (data/pipeline.py), so without it those duplicates would be counted
+    twice (mAP and the scene count both wrong whenever the split size does
+    not divide the batch size — e.g. ScanNet val = 312)."""
     ev = InstanceAPEvaluator(cfg.model.num_classes)
     sem_ev = SemanticMIoUEvaluator(cfg.model.num_classes + 1)
     step = eval_step or TL.make_eval_step(cfg)
+    if num_scenes is None:
+        ds = getattr(loader, "dataset", None)
+        num_scenes = len(ds) if ds is not None else None
     seen = 0
     for bi, batch in enumerate(loader):
         if max_batches is not None and bi >= max_batches:
@@ -49,6 +59,8 @@ def run_eval(
         out = jax.device_get(out)
         gt = out["gt"]
         for b in range(cfg.data.batch_size):
+            if num_scenes is not None and bi * cfg.data.batch_size + b >= num_scenes:
+                break  # wrap-pad duplicate (ordered eval pass) — already scored
             masks, scores, pred_cls, pmask = postprocess_scene(
                 out, b, cfg.model.num_classes
             )

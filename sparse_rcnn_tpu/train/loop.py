@@ -103,6 +103,25 @@ def prepare_inputs(cfg: Config, batch: Dict[str, jax.Array]):
         "hierarchy_overflow": jnp.sum(hovf),
         "voxels_per_scene": jnp.mean(st.nvalid.astype(jnp.float32)),
     }
+    dfs = cfg.model.backbone.dense_from_scale
+    if dfs is not None:
+        # Dense-tail drop counter: scatter_to_grid silently zeroes any site
+        # outside [0, grid_extent >> dfs) — e.g. a room larger than the
+        # configured extent. Same observability contract as the capacity
+        # overflows above (SURVEY.md §7 invariant 1). Counted here (a pure
+        # function of the scale-dfs site set) so it rides the step metrics
+        # without threading counters through the flax modules; a site
+        # outside at scale dfs is outside at every deeper scale too.
+        ext = jnp.asarray(
+            [e >> dfs for e in cfg.model.backbone.grid_extent], jnp.int32
+        )
+        sc = scales[dfs]
+        live = (
+            jnp.arange(sc.coords.shape[1], dtype=jnp.int32)[None, :]
+            < sc.nvalid[:, None]
+        )
+        oob = live & ~jnp.all((sc.coords >= 0) & (sc.coords < ext), axis=-1)
+        aux["dense_tail_oob"] = jnp.sum(oob)
     return st, p2v, scales, gt, aux
 
 

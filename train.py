@@ -85,7 +85,8 @@ def main():
                         **{k: float(v) for k, v in metrics.items()})
             if step % cfg.train.eval_every == 0:
                 eval_loader = Loader(cfg, "val", train=False, sharding=bshard)
-                res = run_eval(cfg, state, iter(eval_loader), max_batches=8)
+                res = run_eval(cfg, state, iter(eval_loader), max_batches=8,
+                               num_scenes=len(eval_loader.dataset))
                 eval_loader.close()
                 log.log("eval", step=step, **res)
             if step % cfg.train.checkpoint_every == 0:
