@@ -20,14 +20,26 @@ carries a ~35ms artifact, so every timed call gets DISTINCT inputs and a
 warmup call precedes timing (see BASELINE.md perf notes).
 """
 
+import argparse
 import json
 import os
 import sys
 import time
 
-# measured once (see module docstring); scenes/sec of the CPU twin on the
-# exact 2cm workload shape
-CPU_TWIN_2CM_SPS = 0.00993
+# Cached CPU-twin denominator, TIED to the exact workload shape it was
+# measured on (the "shape" dict below). bench asserts the shape still
+# matches the config-2 workload it builds; on mismatch the cached number is
+# refused and the denominator is re-measured live (as --live-denominator
+# also forces). No hand-copied constant can silently go stale.
+CPU_TWIN_2CM = {
+    "sps": 0.00993,            # scenes/sec, measured 2026-08-17 on this host
+    "measured": "2026-08-17",
+    "shape": {
+        "num_points": 262144, "voxel_size": 0.02,
+        "widths": (32, 64, 96, 128, 160), "blocks_per_scale": 2,
+        "num_classes": 18,
+    },
+}
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
@@ -60,19 +72,12 @@ def _timed_sps(fn, batches, batch_size):
     return len(batches) * batch_size / dt
 
 
-def bench_config2():
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
+def _config2(batch_size: int = 1):
     from sparse_rcnn_tpu.config import load_config
-    from sparse_rcnn_tpu.data import synthetic
-    from sparse_rcnn_tpu.train import loop as TL
-    from sparse_rcnn_tpu.utils.profiling import cost_table
 
-    cfg = load_config(overrides={
+    return load_config(overrides={
         "data": {"num_points": 262144, "voxel_capacity": 262144,
-                  "batch_size": 1, "voxel_size": [0.02] * 3},
+                  "batch_size": batch_size, "voxel_size": [0.02] * 3},
         "model": {
             "backbone": {"widths": [32, 64, 96, 128, 160],
                           "blocks_per_scale": 2, "dtype": "bfloat16",
@@ -84,16 +89,60 @@ def bench_config2():
             "num_classes": 18, "max_instances": 64,
         },
     })
-    scenes = [synthetic.generate_scene(
+
+
+def _check_denominator_shape(cfg) -> bool:
+    """The cached CPU-twin number is only valid for the shape it measured."""
+    s = CPU_TWIN_2CM["shape"]
+    return (
+        cfg.data.num_points == s["num_points"]
+        and tuple(cfg.data.voxel_size) == (s["voxel_size"],) * 3
+        and tuple(cfg.model.backbone.widths) == s["widths"]
+        and cfg.model.backbone.blocks_per_scale == s["blocks_per_scale"]
+        and cfg.model.num_classes == s["num_classes"]
+    )
+
+
+def measure_cpu_twin_2cm(scenes):
+    """Live CPU-twin denominator at the config-2 shape (~2 min/scene)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmarks"))
+    from torch_cpu_ref import measure_scenes_per_sec
+
+    s = CPU_TWIN_2CM["shape"]
+    sps, _ = measure_scenes_per_sec(
+        scenes[:1], voxel_size=s["voxel_size"], widths=s["widths"],
+        num_classes=s["num_classes"], blocks_per_scale=s["blocks_per_scale"],
+    )
+    return sps
+
+
+def bench_config2(live_denominator: bool = False):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparse_rcnn_tpu.data import synthetic
+    from sparse_rcnn_tpu.train import loop as TL
+    from sparse_rcnn_tpu.utils.flops import (
+        collect_rulebook_stats, useful_forward_flops,
+    )
+    from sparse_rcnn_tpu.utils.profiling import cost_table
+
+    cfg = _config2(batch_size=1)
+    np_scenes = [synthetic.generate_scene(
         100 + i, num_points=262144, num_instances=12, num_classes=18,
         extent=8.0) for i in range(4)]
     batches = [
-        {k: jnp.asarray(v)[None] for k, v in s.items()} for s in scenes
+        {k: jnp.asarray(v)[None] for k, v in s.items()} for s in np_scenes
     ]
     state = TL.init_state(cfg, batches[0])
     estep = TL.make_eval_step(cfg)
     eval_sps = _timed_sps(lambda b: estep(state, b), batches, 1)
 
+    # HLO-counted FLOPs (include dense-tail work on empty cells) AND
+    # sparse-equivalent useful FLOPs from the realized rulebooks — both
+    # reported so dense padding can't flatter round-over-round MFU.
     flops = None
     try:
         analysis = cost_table(estep, state, batches[0])
@@ -101,6 +150,9 @@ def bench_config2():
     except Exception:
         pass
     mfu = (flops * eval_sps / V5E_BF16_PEAK_FLOPS) if flops else None
+    stats = collect_rulebook_stats(cfg, batches[0])
+    useful = useful_forward_flops(cfg, stats)
+    useful_mfu = useful * eval_sps / V5E_BF16_PEAK_FLOPS
 
     # train step DONATES its input state — carry the returned one
     tstep = TL.make_train_step(cfg)
@@ -111,13 +163,138 @@ def bench_config2():
         s, m = tstep(s, b)
     jax.block_until_ready(m["total"])
     train_sps = len(batches) / (time.perf_counter() - t0)
-    mean_vox = float(np.mean([208073]))  # logged voxels/scene at this shape
+    mean_vox = float(jax.device_get(m["voxels_per_scene"]))
+
+    # config-2's CONFIGURED batch size is 2 — also time the unrolled-batch
+    # eval throughput at B=2 (VERDICT r2 weak 6: B>1 was unmeasured)
+    cfg2b = _config2(batch_size=2)
+    b2 = [
+        {k: jnp.stack([jnp.asarray(np_scenes[i][k]),
+                        jnp.asarray(np_scenes[i + 1][k])])
+         for k in np_scenes[0]}
+        for i in range(0, 4, 2)
+    ]
+    state2 = TL.init_state(cfg2b, b2[0])
+    estep2 = TL.make_eval_step(cfg2b)
+    eval_sps_b2 = _timed_sps(lambda b: estep2(state2, b), b2, 2)
+
+    # denominator: cached only while the workload shape matches
+    if live_denominator or not _check_denominator_shape(cfg):
+        cpu_sps = measure_cpu_twin_2cm(np_scenes)
+        denom_kind = "torch_cpu_twin config2-shape @2cm (measured live)"
+    else:
+        cpu_sps = CPU_TWIN_2CM["sps"]
+        denom_kind = (
+            "torch_cpu_twin config2-shape @2cm (reference mount empty; "
+            f"substitute, cached {CPU_TWIN_2CM['measured']}, shape-checked)"
+        )
+    return {
+        "eval_sps": round(eval_sps, 3),
+        "eval_sps_b2": round(eval_sps_b2, 3),
+        "train_sps": round(train_sps, 3),
+        "mfu_eval": round(mfu, 5) if mfu is not None else None,
+        "useful_mfu_eval": round(useful_mfu, 5),
+        "hlo_gflops_per_scene": round(flops / 1e9, 1) if flops else None,
+        "useful_gflops_per_scene": round(useful / 1e9, 1),
+        "mean_voxels": round(mean_vox),
+        "cpu_twin_sps": cpu_sps,
+        "denominator": denom_kind,
+    }
+
+
+def bench_config3():
+    """S3DIS stress shape (BASELINE config 3): 524k capacity, dense tail
+    from scale 3, plus an overflow probe (625k points into 524k capacity —
+    the config exists to stress exactly this)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_rcnn_tpu.config import load_config
+    from sparse_rcnn_tpu.data import synthetic
+    from sparse_rcnn_tpu.train import loop as TL
+
+    cfg = load_config("configs/config3_s3dis.yaml",
+                      overrides={"data": {"dataset": "synthetic"}})
+    scenes = [synthetic.generate_scene(
+        200 + i, num_points=cfg.data.num_points, num_instances=16,
+        num_classes=cfg.model.num_classes, extent=14.0) for i in range(2)]
+    batches = [{k: jnp.asarray(v)[None] for k, v in s.items()}
+               for s in scenes]
+    state = TL.init_state(cfg, batches[0])
+    estep = TL.make_eval_step(cfg)
+    eval_sps = _timed_sps(lambda b: estep(state, b), batches, 1)
+    tstep = TL.make_train_step(cfg)
+    s, m = tstep(state, batches[-1])
+    jax.block_until_ready(m["total"])
+    t0 = time.perf_counter()
+    for b in batches:
+        s, m = tstep(s, b)
+    jax.block_until_ready(m["total"])
+    train_sps = len(batches) / (time.perf_counter() - t0)
+
+    # overflow probe: more unique voxels than capacity — counters must
+    # fire, nothing may crash (SURVEY.md §7 invariant 1)
+    ocfg = load_config("configs/config3_s3dis.yaml", overrides={
+        "data": {"dataset": "synthetic",
+                  "num_points": cfg.data.voxel_capacity + 131072}})
+    oscene = synthetic.generate_scene(
+        999, num_points=ocfg.data.num_points, num_instances=16,
+        num_classes=ocfg.model.num_classes, extent=14.0)
+    obatch = {k: jnp.asarray(v)[None] for k, v in oscene.items()}
+    aux = jax.jit(lambda b: TL.prepare_inputs(ocfg, b)[4])(obatch)
+    aux = {k: int(v) for k, v in jax.device_get(aux).items()}
     return {
         "eval_sps": round(eval_sps, 3),
         "train_sps": round(train_sps, 3),
-        "mfu_eval": round(mfu, 5) if mfu is not None else None,
-        "hlo_gflops_per_scene": round(flops / 1e9, 1) if flops else None,
-        "mean_voxels": mean_vox,
+        "mean_voxels": int(jax.device_get(m["voxels_per_scene"])),
+        "overflow_probe": {
+            "voxel_overflow": aux["voxel_overflow"],
+            "hierarchy_overflow": aux["hierarchy_overflow"],
+            "dense_tail_oob": aux.get("dense_tail_oob", 0),
+        },
+    }
+
+
+def bench_config4():
+    """SemanticKITTI stress shape (BASELINE config 4): anisotropic voxels
+    over a long-range sweep (~100x100x6 m at [0.1, 0.1, 0.15] m)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparse_rcnn_tpu.config import load_config
+    from sparse_rcnn_tpu.data import synthetic
+    from sparse_rcnn_tpu.train import loop as TL
+
+    cfg = load_config("configs/config4_semantic_kitti.yaml",
+                      overrides={"data": {"dataset": "synthetic"}})
+    b = cfg.data.batch_size
+    scenes = [synthetic.stretch_scene(
+        synthetic.generate_scene(
+            300 + i, num_points=cfg.data.num_points, num_instances=12,
+            num_classes=cfg.model.num_classes,
+            num_features=cfg.data.num_features, extent=8.0),
+        [12.5, 12.5, 0.75],
+    ) for i in range(2 * b)]
+    batches = [
+        {k: jnp.asarray(np.stack([scenes[i * b + j][k] for j in range(b)]))
+         for k in scenes[0]} for i in range(2)
+    ]
+    state = TL.init_state(cfg, batches[0])
+    estep = TL.make_eval_step(cfg)
+    eval_sps = _timed_sps(lambda bt: estep(state, bt), batches, b)
+    tstep = TL.make_train_step(cfg)
+    s, m = tstep(state, batches[-1])
+    jax.block_until_ready(m["total"])
+    t0 = time.perf_counter()
+    for bt in batches:
+        s, m = tstep(s, bt)
+    jax.block_until_ready(m["total"])
+    train_sps = len(batches) * b / (time.perf_counter() - t0)
+    return {
+        "eval_sps": round(eval_sps, 3),
+        "train_sps": round(train_sps, 3),
+        "mean_voxels": int(jax.device_get(m["voxels_per_scene"])),
     }
 
 
@@ -167,25 +344,42 @@ def bench_config1():
 def main():
     import jax
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--live-denominator", action="store_true",
+                    help="re-measure the CPU twin at the config-2 shape "
+                         "instead of the shape-checked cached value")
+    ap.add_argument("--stress", action="store_true",
+                    help="also bench the config-3 (S3DIS 524k + overflow "
+                         "probe) and config-4 (KITTI anisotropic) shapes")
+    args = ap.parse_args()
+
     enable_compile_cache()
-    c2 = bench_config2()
+    c2 = bench_config2(live_denominator=args.live_denominator)
     c1 = bench_config1()
+    stress = {}
+    if args.stress:
+        stress = {"config3_s3dis": bench_config3(),
+                  "config4_kitti": bench_config4()}
     print(json.dumps({
         "metric": "config2_scenes_per_sec_2cm_eval",
         "value": c2["eval_sps"],
         "unit": "scenes/sec/chip",
-        "vs_baseline": round(c2["eval_sps"] / CPU_TWIN_2CM_SPS, 1),
+        "vs_baseline": round(c2["eval_sps"] / c2["cpu_twin_sps"], 1),
         "baseline": {
-            "kind": "torch_cpu_twin config2-shape @2cm "
-                    "(reference mount empty; substitute, cached measurement)",
-            "scenes_per_sec": CPU_TWIN_2CM_SPS,
+            "kind": c2["denominator"],
+            "scenes_per_sec": c2["cpu_twin_sps"],
         },
+        "config2_eval_sps_b2": c2["eval_sps_b2"],
         "config2_train_sps": c2["train_sps"],
         "config2_mfu_eval": c2["mfu_eval"],
+        "config2_useful_mfu_eval": c2["useful_mfu_eval"],
         "config2_hlo_gflops_per_scene": c2["hlo_gflops_per_scene"],
+        "config2_useful_gflops_per_scene": c2["useful_gflops_per_scene"],
+        "config2_mean_voxels": c2["mean_voxels"],
         "config1_5cm_sps": c1["sps"],
         "config1_vs_cpu_twin_live": round(c1["sps"] / c1["cpu_sps"], 2),
         "device": str(jax.devices()[0]),
+        **stress,
     }))
 
 

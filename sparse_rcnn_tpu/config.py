@@ -52,6 +52,13 @@ class BackboneConfig:
     capacity_factor: float = 0.75
     # voxel capacity per scale; scale s defaults to voxel_capacity >> s
     capacities: Optional[Tuple[int, ...]] = None
+    # Downsample operator between sparse scales (SURVEY.md C6 variants):
+    # "conv" = k2s2 strided sparse conv (default); "maxpool"/"avgpool" =
+    # sparse pooling over each coarse site's children (ops/pooling.py)
+    # followed by a 1x1 channel projection.
+    downsample: str = "conv"
+    # feature dropout after each sparse block stack (SURVEY.md C8); 0 = off
+    dropout: float = 0.0
     # Dense tail: from this scale on, the backbone runs MASKED DENSE 3D
     # convs on a [E/2^s]^3 grid instead of gather-GEMM sparse convs.
     # Occupancy at stride >= 4 is high enough that dense MXU convs beat
@@ -188,6 +195,13 @@ def _validate(cfg: Config) -> None:
         )
     if cfg.model.rpn.rpn_scale >= len(cfg.model.backbone.widths):
         raise ValueError("rpn.rpn_scale out of range for backbone widths")
+    if cfg.model.backbone.downsample not in ("conv", "maxpool", "avgpool"):
+        raise ValueError(
+            f"backbone.downsample must be conv|maxpool|avgpool, "
+            f"got {cfg.model.backbone.downsample!r}"
+        )
+    if not 0.0 <= cfg.model.backbone.dropout < 1.0:
+        raise ValueError("backbone.dropout must be in [0, 1)")
     dfs = cfg.model.backbone.dense_from_scale
     if dfs is not None:
         ns = len(cfg.model.backbone.widths)

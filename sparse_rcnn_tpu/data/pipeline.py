@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Dict, Iterator, Optional
 
 import jax
@@ -64,6 +65,12 @@ class Loader:
             maxsize=max(self._num_workers, cfg.data.prefetch)
         )
         self._stop = threading.Event()
+        # starvation accounting (BASELINE config 5 "host-side voxelization
+        # overlap" must be MEASURED, not assumed): wall time the consumer
+        # spent blocked waiting for a batch, and batches delivered. A
+        # well-overlapped pipeline keeps wait_s ≈ 0 past the first batch.
+        self.wait_s = 0.0
+        self.batches_out = 0
         self._threads = [
             threading.Thread(target=self._worker, args=(w,), daemon=True)
             for w in range(self._num_workers)
@@ -115,14 +122,21 @@ class Loader:
             )
         return jax.tree_util.tree_map(jax.device_put, item)
 
+    def _timed_get(self):
+        t0 = time.perf_counter()
+        item = self._q.get()
+        self.wait_s += time.perf_counter() - t0
+        return item
+
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
         # Double buffering: device_put is async, so starting the NEXT
         # batch's H2D transfer before yielding the current one overlaps the
         # copy with the consumer's device compute.
-        nxt = self._to_device(self._q.get())
+        nxt = self._to_device(self._timed_get())
         while nxt is not None:
             cur = nxt
-            nxt = self._to_device(self._q.get())
+            nxt = self._to_device(self._timed_get())
+            self.batches_out += 1
             yield cur
 
     def close(self):

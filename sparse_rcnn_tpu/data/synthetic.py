@@ -222,3 +222,18 @@ def _generate_hard_scene(
 def generate_batch(seed: int, batch_size: int, **kw) -> Dict[str, np.ndarray]:
     scenes = [generate_scene(seed * 1000 + i, **kw) for i in range(batch_size)]
     return {k: np.stack([s[k] for s in scenes]) for k in scenes[0]}
+
+
+def stretch_scene(scene: Dict[str, np.ndarray], scale_xyz) -> Dict[str, np.ndarray]:
+    """Anisotropically scale a scene's geometry (a KITTI-like long-range
+    sweep from an isotropic room — BASELINE config 4's shape regime).
+
+    Only ``points`` change; instance/semantic labels ride along, and GT
+    boxes are derived from points downstream (data/gt.py), so the whole
+    pipeline stays self-consistent.
+    """
+    out = dict(scene)
+    out["points"] = (
+        scene["points"] * np.asarray(scale_xyz, np.float32)[None, :]
+    ).astype(np.float32)
+    return out

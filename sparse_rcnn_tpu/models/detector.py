@@ -54,6 +54,8 @@ class SparseRCNN(nn.Module):
             remat=bb.remat,
             dense_from_scale=bb.dense_from_scale,
             grid_extent=bb.grid_extent,
+            downsample=bb.downsample,
+            dropout=bb.dropout,
             name="backbone",
         )(feats, scales, train)
 

@@ -30,9 +30,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import pooling as pool_ops
 from ..ops.batching import map_scenes as _map_scenes
 from ..ops.hierarchy import ScaleSet
-from .layers import MaskedBatchNorm, SparseBasicBlock, SparseConv, SubMConv3d
+from .layers import (
+    MaskedBatchNorm, SparseBasicBlock, SparseConv, SparseDropout, SubMConv3d,
+)
 
 
 def _mask(scale: ScaleSet) -> jax.Array:
@@ -200,6 +203,12 @@ class SparseUNet(nn.Module):
     remat: bool = False
     dense_from_scale: Optional[int] = None
     grid_extent: Optional[Tuple[int, int, int]] = None
+    # "conv" | "maxpool" | "avgpool" — sparse-scale downsample operator
+    # (pooling reuses the same k==s rulebook + a 1x1 channel projection;
+    # SURVEY.md C6). The dense tail always downsamples with strided convs.
+    downsample: str = "conv"
+    # feature dropout after each sparse block stack (SURVEY.md C8)
+    dropout: float = 0.0
 
     @nn.compact
     def __call__(self, feats: jax.Array, scales: List[ScaleSet], train: bool = False):
@@ -224,15 +233,28 @@ class SparseUNet(nn.Module):
                     self.widths[s], self.kernel_size, dtype=self.dtype,
                     name=f"enc{s}_block{b}",
                 )(x, scales[s].subm_idx, _mask(scales[s]), train)
+            if self.dropout > 0:
+                x = SparseDropout(self.dropout, name=f"enc{s}_drop")(x, train)
             skips.append(x)
             if s < ns - 1:
                 x = MaskedBatchNorm(dtype=self.dtype, name=f"down{s}_bn")(
                     x, _mask(scales[s]), train
                 )
                 x = nn.relu(x)
-                x = SparseConv(
-                    self.widths[s + 1], 8, dtype=self.dtype, name=f"down{s}_conv"
-                )(x, scales[s].down_idx, scales[s].up_idx)  # t(down) == up
+                if self.downsample == "conv":
+                    x = SparseConv(
+                        self.widths[s + 1], 8, dtype=self.dtype,
+                        name=f"down{s}_conv",
+                    )(x, scales[s].down_idx, scales[s].up_idx)  # t(down) == up
+                else:
+                    pool = (pool_ops.max_pool if self.downsample == "maxpool"
+                            else pool_ops.avg_pool)
+                    x = pool(x, scales[s].down_idx)
+                    x = nn.Dense(
+                        self.widths[s + 1], use_bias=False, dtype=self.dtype,
+                        name=f"down{s}_proj",
+                    )(x)
+                    x = x * _mask(scales[s + 1])[..., None].astype(x.dtype)
 
         outputs = [None] * ns
         if n_sparse < ns:
@@ -275,5 +297,7 @@ class SparseUNet(nn.Module):
                     self.widths[s], self.kernel_size, dtype=self.dtype,
                     name=f"dec{s}_block{b}",
                 )(x, scales[s].subm_idx, _mask(scales[s]), train)
+            if self.dropout > 0:
+                x = SparseDropout(self.dropout, name=f"dec{s}_drop")(x, train)
             outputs[s] = x
         return outputs

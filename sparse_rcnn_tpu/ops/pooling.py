@@ -10,6 +10,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .batching import map_scenes as _map_scenes
+
 
 def _gather(feats: jax.Array, idx: jax.Array, fill: float) -> jax.Array:
     """feats [M,C], idx [K,M_out] → [K, M_out, C] with ``fill`` at -1."""
@@ -26,7 +28,7 @@ def max_pool(feats: jax.Array, down_idx: jax.Array) -> jax.Array:
         any_child = jnp.any(ix >= 0, axis=0)
         return jnp.where(any_child[:, None], out, 0.0).astype(f.dtype)
 
-    return jax.vmap(one)(feats, down_idx)
+    return _map_scenes(one, feats, down_idx)  # batch policy: ops/batching.py
 
 
 def avg_pool(feats: jax.Array, down_idx: jax.Array) -> jax.Array:
@@ -36,7 +38,7 @@ def avg_pool(feats: jax.Array, down_idx: jax.Array) -> jax.Array:
         cnt = jnp.sum((ix >= 0), axis=0).astype(f.dtype)
         return (jnp.sum(g, axis=0) / jnp.maximum(cnt, 1.0)[:, None]).astype(f.dtype)
 
-    return jax.vmap(one)(feats, down_idx)
+    return _map_scenes(one, feats, down_idx)
 
 
 def global_pool(feats: jax.Array, nvalid: jax.Array, mode: str = "mean") -> jax.Array:

@@ -45,12 +45,23 @@ def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh, data_axis: str = "data"
 
 
 def make_parallel_train_step(cfg: Config, mesh: Mesh):
-    """jit-compiled DP train step: state replicated, batch data-sharded."""
+    """jit-compiled DP train step: state replicated, batch data-sharded.
+
+    The step body runs under :func:`..ops.batching.shard_context`, so every
+    per-scene sort/gather/scatter unrolls the per-device LOCAL batch inside
+    a ``shard_map`` — no vmapped (batched-emitter, measured ~2.5x slower)
+    forms anywhere, and no device ever touches another device's scenes.
+    """
+    from ..ops import batching
+
     data_axis = cfg.parallel.data_axis
     rep = replicated(mesh)
     bspec = batch_sharding(mesh, data_axis)
 
-    step = functools.partial(train_loop.train_step, cfg)
+    def step(state, batch):
+        with batching.shard_context(mesh, data_axis):
+            return train_loop.train_step(cfg, state, batch)
+
     return jax.jit(
         step,
         in_shardings=(rep, bspec),
@@ -60,9 +71,16 @@ def make_parallel_train_step(cfg: Config, mesh: Mesh):
 
 
 def make_parallel_eval_step(cfg: Config, mesh: Mesh):
+    from ..ops import batching
+
+    data_axis = cfg.parallel.data_axis
     rep = replicated(mesh)
-    bspec = batch_sharding(mesh, cfg.parallel.data_axis)
-    step = functools.partial(train_loop.eval_step, cfg)
+    bspec = batch_sharding(mesh, data_axis)
+
+    def step(state, batch):
+        with batching.shard_context(mesh, data_axis):
+            return train_loop.eval_step(cfg, state, batch)
+
     return jax.jit(step, in_shardings=(rep, bspec))
 
 

@@ -204,13 +204,20 @@ def train_step(
     :func:`make_train_step`."""
     model = build_model(cfg)
     st, _, scales, gt, aux = prepare_inputs(cfg, batch)
+    # per-step dropout rng only when the backbone asks for it (keeps the
+    # default-config trace byte-identical to before)
+    if cfg.model.backbone.dropout > 0:
+        next_rng, drop_rng = jax.random.split(state.rng)
+        rngs = {"dropout": drop_rng}
+    else:
+        next_rng, rngs = state.rng, None
 
     def loss_fn(params):
         out, updates = model.apply(
             {"params": params, "batch_stats": state.batch_stats},
             st.feats, scales, train=True,
             gt_boxes=gt.boxes, gt_boxes_valid=gt.valid,
-            mutable=["batch_stats"],
+            mutable=["batch_stats"], rngs=rngs,
         )
         total, parts = compute_losses(cfg, out, scales, gt, st.row_mask)
         return total, (parts, updates["batch_stats"])
@@ -228,7 +235,7 @@ def train_step(
     metrics["grad_norm"] = optax.global_norm(grads)
     new_state = state.replace(
         step=state.step + 1, params=new_params,
-        batch_stats=new_stats, opt_state=new_opt,
+        batch_stats=new_stats, opt_state=new_opt, rng=next_rng,
     )
     return new_state, metrics
 

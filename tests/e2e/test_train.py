@@ -109,3 +109,37 @@ def test_multiscale_rpn_train_step(cfg, batch):
     # eval path runs too
     out = TL.make_eval_step(mcfg)(s2, batch)
     assert np.isfinite(np.asarray(out["cls_logits"])).all()
+
+
+@pytest.mark.parametrize("downsample", ["maxpool", "avgpool"])
+def test_pooling_downsample_and_dropout(downsample):
+    """Config-wired pooling downsample + dropout (SURVEY.md C6/C8): trains,
+    stays finite, and is deterministic (dropout rng lives in TrainState)."""
+    cfg = load_config(overrides={
+        "data": {"num_points": 1024, "voxel_capacity": 512, "batch_size": 2,
+                  "voxel_size": [0.15, 0.15, 0.15]},
+        "model": {
+            "backbone": {"widths": [8, 16], "blocks_per_scale": 1,
+                          "downsample": downsample, "dropout": 0.2},
+            "rpn": {"hidden": 16, "num_proposals": 8, "pre_nms_topk": 32},
+            "roi": {"grid_size": 4, "hidden": 16, "mask_grid": 8},
+            "num_classes": 4, "max_instances": 8,
+        },
+        "train": {"lr": 3e-3, "warmup_steps": 2, "total_steps": 50},
+    })
+    b = synthetic.generate_batch(3, cfg.data.batch_size,
+                                 num_points=cfg.data.num_points,
+                                 num_instances=3,
+                                 num_classes=cfg.model.num_classes)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    step = TL.make_train_step(cfg)
+    s1 = TL.init_state(cfg, batch)
+    s2 = TL.init_state(cfg, batch)
+    for _ in range(2):
+        s1, m1 = step(s1, batch)
+        s2, m2 = step(s2, batch)
+    assert np.isfinite(float(m1["total"]))
+    assert float(m1["total"]) == float(m2["total"])  # rng is in the state
+    # eval (dropout inert) runs clean
+    out = TL.make_eval_step(cfg)(s1, batch)
+    assert np.isfinite(np.asarray(out["cls_logits"], np.float32)).all()
