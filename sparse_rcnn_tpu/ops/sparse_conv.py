@@ -157,23 +157,165 @@ def blocked_matmul_conv(
     return _unroll_scenes(per_scene, feats, idx).astype(out_dtype)
 
 
-# Executor selection: "auto" picks im2col for small gather buffers and the
-# row-blocked executor above the byte budget (Pallas contraction on TPU);
+# ---------------------------------------------------------------------------
+# Pencil executor: exploit z-adjacency of the sorted table (round-3 headline)
+#
+# The coordinate table is lexicographically sorted with z innermost, and the
+# submanifold offset enumeration is z-innermost too. Consequence: for a
+# fixed (dx, dy), the kz z-taps of one output site query keys that differ
+# only by adjacent z values — and in a sorted UNIQUE table, rows holding any
+# subset of adjacent keys are CONSECUTIVE (no key fits between them). So the
+# kz taps of each "pencil" can be fetched with ONE row gather from a
+# shifted-concat table f3[i] = [f[i], f[i+1], ..., f[i+kz-1]], then routed
+# to their tap columns with elementwise selects:
+#
+#   pencil base row r = first present tap's row,
+#   tap t's chunk slot = number of present taps before t (cumsum of flags).
+#
+# A 27-tap conv thus needs 9 wide gathers instead of 27 narrow ones — and
+# the gather study (benchmarks/gather_study.py) measured XLA's gather cost
+# as per-ROW, not per-byte: 192-byte pencil rows move ~2.5x more useful
+# bytes/sec than 64-byte tap rows on v5e. The center pencil needs no gather
+# at all when the center tap is the identity (submanifold + its transpose):
+# its base row is i-1 or i, a select of two static slices.
+#
+# VALIDITY: requires idx to be a rulebook over sorted unique tables with a
+# z-innermost-ascending tap enumeration (true for submanifold rulebooks and
+# their transposes; asserted by tests/parity against the scan executor).
+# An arbitrary idx with K=27 does NOT qualify — hence pencil never runs for
+# caller-constructed index arrays outside the conv layers.
+# ---------------------------------------------------------------------------
+
+# Pencil chunk row cap: 192B (bf16 C<=32). Measured on the chip: 192B
+# pencil rows gather at ~3.5 ms/M rows (fast regime), 384B rows fall off a
+# cliff (~12 ms/M) — so at C=64 bf16 the plain per-tap 128B gathers win.
+_PENCIL_MAX_ROW_BYTES = 192
+
+
+def _pencil_ok(k: int, cin: int, dtype) -> bool:
+    if k != 27:  # static-slot extraction is derived for kz == 3
+        return False
+    return 3 * cin * jnp.dtype(dtype).itemsize <= _PENCIL_MAX_ROW_BYTES
+
+
+def _pencil_cat(f: jax.Array, kz: int) -> jax.Array:
+    """[M, C] → [M, kz*C]: row i holds rows i..i+kz-1 (zero-padded tail)."""
+    m, c = f.shape
+    fpad = jnp.concatenate([f, jnp.zeros((kz - 1, c), f.dtype)], axis=0)
+    return jnp.concatenate([fpad[i:m + i] for i in range(kz)], axis=1)
+
+
+def _pencil3_chunks(f3e, ix_t, c, center_slice=None):
+    """Per-pencil STATIC-slot chunk extraction for kz == 3.
+
+    Anchoring the gather at (middle-tap row - 1) whenever the middle (z)
+    tap is present makes chunk slots static — slot s holds the z-1+s key's
+    row — with exactly ONE rare-case select per pencil: when z is absent
+    but both z-1 and z+1 present, the z+1 row compresses into slot 1.
+
+    Rulebook convention: idx[k, i] = row of coords[i] - offset_k, so the
+    tap with dz offset j-1 (j = position in the triple) queries key
+    z-(j-1): within each triple, tap 3p+2 holds the z-1 key's row, 3p+1
+    the z key's, 3p the z+1 key's.
+
+    ``f3e`` is the EXTENDED shifted-concat table (two zero rows prepended
+    before building chunks): f3e[j] = feats rows (j-2, j-1, j), so the
+    chunk anchored at row ``a`` (which can legitimately be -1 or -2 at the
+    table's low edge) lives at index a+2 >= 0 — no clip shift.
+
+    Yields per pencil: (masked [b, 3C] block in slot order z-1,z,z+1,
+    tap indices (3p+2, 3p+1, 3p) matching those slots).
+    """
+    k, b = ix_t.shape
+    me = f3e.shape[0]
+    n_pencils = k // 3
+    for p in range(n_pencils):
+        t0 = ix_t[3 * p + 2]      # row of key z-1 (or -1)
+        t1 = ix_t[3 * p + 1]      # row of key z
+        t2 = ix_t[3 * p]          # row of key z+1
+        pm, p0, pp = t0 >= 0, t1 >= 0, t2 >= 0
+        if center_slice is not None and p == n_pencils // 2:
+            # identity center tap: the anchor is ALWAYS i-1 (row i-1 holds
+            # the z-1 key iff present; i+1 the z+1 key iff present) — a
+            # contiguous slice, no gather, no select
+            g3 = center_slice
+            fix = jnp.zeros_like(pm)  # (z present on every live row)
+        else:
+            # anchor: rows (a, a+1, a+2) hold keys (z-1, z, z+1) when the
+            # corresponding tap is present — adjacent keys occupy adjacent
+            # rows in the sorted unique table
+            a = jnp.where(p0, t1 - 1, jnp.where(pm, t0, t2 - 2))
+            g3 = f3e[jnp.clip(a + 2, 0, me - 1)]     # [b, 3C] — THE gather
+            fix = pm & ~p0 & pp   # z+1 compressed into slot 1
+        c0 = g3[:, :c]
+        c1 = g3[:, c:2 * c]
+        c2 = jnp.where(fix[:, None], c1, g3[:, 2 * c:])
+        blk = jnp.concatenate([
+            c0 * pm[:, None].astype(c0.dtype),
+            c1 * p0[:, None].astype(c1.dtype),
+            c2 * pp[:, None].astype(c2.dtype),
+        ], axis=1)
+        yield blk, (3 * p + 2, 3 * p + 1, 3 * p)
+
+
+def pencil_matmul_conv(
+    feats: jax.Array, idx: jax.Array, weights: jax.Array,
+    center_identity: bool = True,
+) -> jax.Array:
+    """Flat (untiled) pencil executor (see the block comment above), K==27.
+
+    Each pencil contributes ONE [M, 3C] @ [3C, Cout] matmul whose left
+    operand is the statically-slotted masked chunk block — no im2col, one
+    select per pencil, 8 wide gathers + 1 slice per conv. Untiled on
+    purpose: the per-pencil transient is only [M, 3C] (~50 MB at 2cm
+    C=32), and tiling was measured 35% slower (256 small gathers + lax.map
+    overhead). Semantically identical to :func:`gather_matmul_conv` for
+    rulebooks that satisfy the pencil validity conditions (tests/parity).
+    ``center_identity`` may only be True when output row i IS input row i
+    (submanifold and its transpose) — the center pencil is then a slice.
+    """
+    out_dtype = jnp.promote_types(feats.dtype, weights.dtype)
+    k, cin, cout = weights.shape
+    assert k == 27, (k, "pencil executor supports 3x3x3 kernels")
+
+    def per_scene(f, ix):
+        m = ix.shape[1]
+        # extended chunk table: f3e[j] = feats rows (j-2, j-1, j); the
+        # chunk anchored at row a lives at index a+2 (see _pencil3_chunks)
+        fz = jnp.concatenate([jnp.zeros((2, cin), f.dtype), f], axis=0)
+        f3e = _pencil_cat(fz, 3)                             # [m+2, 3C]
+        cs = f3e[1:m + 1] if center_identity else None       # anchor i-1
+        w = weights.astype(f.dtype)
+        acc = jnp.zeros((m, cout), jnp.float32)
+        for blk, taps in _pencil3_chunks(f3e, ix, cin, cs):
+            wp = jnp.concatenate([w[t] for t in taps], axis=0)  # [3C, Cout]
+            acc = acc + jnp.dot(blk, wp, preferred_element_type=jnp.float32)
+        return acc
+
+    return _unroll_scenes(per_scene, feats, idx).astype(out_dtype)
+
+
+# Executor selection: "auto" picks the pencil executor for odd cubic
+# kernels within the pencil row-byte cap, the im2col executor for small
+# gather buffers, and the row-blocked executor above the byte budget;
 # "pallas" forces the Pallas tap-accumulate contraction at any size.
 _EXECUTOR_MODE = "auto"
 
 
 def set_executor_mode(mode: str) -> None:
-    """Select the conv executor globally: auto | concat | scan | pallas | blocked.
+    """Select the conv executor globally:
+    auto | concat | scan | pallas | blocked | pencil | no_pencil.
 
     Takes effect at trace time (call before jit-compiling steps).
+    ``no_pencil`` = auto minus the pencil fast path (A/B baseline).
     """
     global _EXECUTOR_MODE
-    assert mode in ("auto", "concat", "scan", "pallas", "blocked"), mode
+    assert mode in ("auto", "concat", "scan", "pallas", "blocked",
+                    "pencil", "no_pencil"), mode
     _EXECUTOR_MODE = mode
 
 
-def _best_executor(k: int, cin: int, m_out: int, dtype):
+def _best_executor(k: int, cin: int, m_out: int, dtype, auto_pencil=True):
     if _EXECUTOR_MODE == "scan":
         return gather_matmul_conv
     if _EXECUTOR_MODE == "concat":
@@ -184,6 +326,15 @@ def _best_executor(k: int, cin: int, m_out: int, dtype):
         import functools
 
         return functools.partial(blocked_matmul_conv, use_pallas=True)
+    if _EXECUTOR_MODE == "pencil" and _pencil_ok(k, cin, dtype):
+        return pencil_matmul_conv  # non-qualifying K falls through to auto
+    # auto: the flat pencil executor wherever its validity conditions hold
+    # (sparse_conv's odd-cubic-K contract is submanifold rulebooks) and the
+    # chunk row stays in the fast gather regime — measured 15.7 vs 19.7 ms
+    # per 262k-row C=32 bf16 conv vs the blocked executor on v5e.
+    if (auto_pencil and _EXECUTOR_MODE != "no_pencil"
+            and _pencil_ok(k, cin, dtype)):
+        return pencil_matmul_conv
     if _im2col_bytes(m_out, k, cin, dtype) <= _IM2COL_MAX_BYTES:
         return concat_matmul_conv
     return blocked_matmul_conv
@@ -195,11 +346,55 @@ def _pick(feats, idx, weights):
     )
 
 
+def _pick_bwd(feats, idx, weights):
+    """Backward executor choice: like :func:`_pick`, but "auto" never picks
+    the pencil executor — the flat pencil's per-pencil [M, 3C] transients
+    are fine in the forward/eval program, but inside the fused train
+    step (fwd + bwd one XLA program) they raised peak HBM past v5e
+    capacity at the 2cm config-2 shape (measured OOM: 18.6 G needed vs
+    15.75 G). The bf16 blocked/concat path stays (that's what took train
+    0.34 → 0.51 sps); explicit ``set_executor_mode("pencil")`` still forces
+    the pencil backward for parity tests."""
+    return _best_executor(
+        weights.shape[0], weights.shape[1], idx.shape[-1], feats.dtype,
+        auto_pencil=False,
+    )
+
+
 def _conv_dw(feats, idx, g, weights):
     """d_W[k] = Σ_b gathered_bk^T @ g_b — im2col when the gather buffer fits
-    the byte budget, row-blocked lax.scan accumulation otherwise."""
+    the byte budget, row-blocked lax.scan accumulation otherwise.
+
+    Both operands stay in the compute dtype (bf16 for bf16 models) and only
+    the contraction accumulates in f32 (``preferred_element_type``): f32 row
+    gathers are measured 4x slower than bf16 on v5e (BASELINE.md), and the
+    MXU takes bf16 inputs at full rate.
+    """
     k, cin, cout = weights.shape
     m_out = idx.shape[-1]
+
+    if _EXECUTOR_MODE == "pencil" and _pencil_ok(k, cin, feats.dtype):
+        # re-gather via pencils too (flat, like the forward executor) —
+        # idx is the forward (identity-center) submanifold rulebook.
+        # Explicit mode only: see _pick_bwd for why auto excludes the
+        # pencil from the backward (train-step peak-HBM OOM at 2cm).
+
+        def dw_scene(f, ix, gb):
+            gb = gb.astype(f.dtype)
+            fz = jnp.concatenate(
+                [jnp.zeros((2, cin), f.dtype), f], axis=0)
+            f3e = _pencil_cat(fz, 3)
+            cs = f3e[1:m_out + 1]
+            parts = [None] * k
+            for blk, taps in _pencil3_chunks(f3e, ix, cin, cs):
+                dwp = jnp.dot(
+                    blk.T, gb, preferred_element_type=jnp.float32,
+                ).reshape(3, cin, cout)
+                for s, tap in enumerate(taps):
+                    parts[tap] = dwp[s]
+            return jnp.stack(parts)
+
+        return _unroll_scenes(dw_scene, feats, idx, g).sum(axis=0)
 
     if _im2col_bytes(m_out, k, cin, feats.dtype) <= _IM2COL_MAX_BYTES:
         def dw_scene(f, ix, gb):
@@ -207,7 +402,7 @@ def _conv_dw(feats, idx, g, weights):
             gath = f[safe] * (ix >= 0)[..., None].astype(f.dtype)   # [K, M, Cin]
             gath = jnp.swapaxes(gath, 0, 1).reshape(m_out, k * cin)
             return jnp.dot(
-                gath.T.astype(jnp.float32), gb,
+                gath.T, gb.astype(f.dtype),
                 preferred_element_type=jnp.float32,
             ).reshape(k, cin, cout)
     else:
@@ -218,7 +413,7 @@ def _conv_dw(feats, idx, g, weights):
             ixp = jnp.pad(ix, ((0, 0), (0, pad)), constant_values=-1)
             gp = jnp.pad(gb, ((0, pad), (0, 0)))
             tiles_ix = jnp.swapaxes(ixp.reshape(k, nt, b), 0, 1)  # [nt, K, b]
-            tiles_g = gp.reshape(nt, b, cout)
+            tiles_g = gp.reshape(nt, b, cout).astype(f.dtype)
 
             def step(acc, t):
                 ix_t, g_t = t
@@ -226,7 +421,7 @@ def _conv_dw(feats, idx, g, weights):
                 gath = f[safe] * (ix_t >= 0)[..., None].astype(f.dtype)
                 # contraction over the b=block rows — full MXU depth
                 return acc + jnp.einsum(
-                    "kbc,bd->kcd", gath.astype(jnp.float32), g_t,
+                    "kbc,bd->kcd", gath, g_t,
                     preferred_element_type=jnp.float32,
                 ), None
 
@@ -243,8 +438,15 @@ def _conv_dw(feats, idx, g, weights):
 def sparse_conv(feats: jax.Array, idx: jax.Array, weights: jax.Array) -> jax.Array:
     """Sparse conv with gather-form (scatter-free) backward. Default executor.
 
-    Picks the im2col executor when the gather buffer fits the byte budget,
-    the row-blocked executor otherwise.
+    Executor choice ("auto"): the pencil executor for odd cubic kernels
+    within the pencil row-byte cap, else im2col when the gather buffer fits
+    the byte budget, else row-blocked.
+
+    CONTRACT for odd cubic K (27, 125, ...): ``idx`` must be a submanifold
+    rulebook (or its transpose) over sorted unique tables — z-innermost
+    ascending tap enumeration, identity center tap. The pencil fast path
+    relies on the z-adjacency those rulebooks guarantee; arbitrary index
+    arrays with such K must use the oracle executors directly.
     """
     return _pick(feats, idx, weights)(feats, idx, weights)
 
@@ -256,12 +458,25 @@ def _fwd(feats, idx, weights):
 def _bwd(res, g):
     feats, idx, weights = res
     m_in = feats.shape[1]
-    g = g.astype(jnp.float32)
+    # Gather the cotangent in the COMPUTE dtype: the d_f executor is
+    # gather-bound and f32 row gathers run 4x slower than bf16 on v5e
+    # (BASELINE.md). Accumulation inside the executor is f32 regardless
+    # (preferred_element_type), so only the cotangent rounds to bf16 —
+    # standard mixed-precision backward semantics.
+    g = g.astype(feats.dtype)
     d_w = _conv_dw(feats, idx, g, weights)
     # d_feats via transposed rulebook: pure gather, no scatter.
     t_idx = _unroll_scenes(lambda ix: rb.transpose_rulebook(ix, m_in), idx)
-    w_t = jnp.swapaxes(weights, -1, -2).astype(jnp.float32)  # [K, Cout, Cin]
-    d_f = _pick(g, t_idx, w_t)(g, t_idx, w_t)
+    w_t = jnp.swapaxes(weights, -1, -2).astype(feats.dtype)  # [K, Cout, Cin]
+    ex = _pick_bwd(g, t_idx, w_t)
+    if ex is pencil_matmul_conv:
+        # transpose_rulebook's tap k answers coords[j] + offset_k, i.e.
+        # z-ASCENDING table rows within each triple — flip both (a joint
+        # tap permutation, numerically identity) back to the canonical
+        # z-descending convention the pencil executor expects.
+        t_idx = jnp.flip(t_idx, axis=-2)
+        w_t = jnp.flip(w_t, axis=0)
+    d_f = ex(g, t_idx, w_t)
     return d_f.astype(feats.dtype), None, d_w.astype(weights.dtype)
 
 
@@ -280,6 +495,10 @@ def sparse_conv_t(
         (reversing the offset enumeration negates every offset),
       * strided down (k==s):               t(down_idx) == up_idx,
       * inverse up (k==s):                 t(up_idx) == down_idx.
+
+    For odd cubic K the flip-enumeration t_idx convention above is REQUIRED
+    (the backward flips it back to canonical z-ascending order for the
+    pencil executor — a joint tap permutation, numerically identity).
     """
     return _pick(feats, idx, weights)(feats, idx, weights)
 
@@ -290,10 +509,19 @@ def _fwd_t(feats, idx, t_idx, weights):
 
 def _bwd_t(res, g):
     feats, idx, t_idx, weights = res
-    g = g.astype(jnp.float32)
+    g = g.astype(feats.dtype)  # bf16 gathers — see _bwd
     d_w = _conv_dw(feats, idx, g, weights)
-    w_t = jnp.swapaxes(weights, -1, -2).astype(jnp.float32)
-    d_f = _pick(g, t_idx, w_t)(g, t_idx, w_t)
+    w_t = jnp.swapaxes(weights, -1, -2).astype(feats.dtype)
+    ex = _pick_bwd(g, t_idx, w_t)
+    if ex is pencil_matmul_conv:
+        # Odd cubic kernels arrive with the FLIP-enumeration transpose
+        # (t(subm) == idx[:, ::-1] — rulebook duality), whose triples are
+        # z-ascending. Σ_k gather(t[k])@W[k] is invariant under jointly
+        # permuting k, so flip both back to the canonical z-descending
+        # convention the pencil executor expects.
+        t_idx = jnp.flip(t_idx, axis=-2)
+        w_t = jnp.flip(w_t, axis=0)
+    d_f = ex(g, t_idx, w_t)
     return d_f.astype(feats.dtype), None, None, d_w.astype(weights.dtype)
 
 
