@@ -43,6 +43,14 @@ CPU_TWIN_2CM = {
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
+def _progress(msg: str) -> None:
+    """Stage marker on stderr (stdout carries only the driver's JSON line).
+
+    Remote compiles through the axon tunnel can take many minutes each;
+    without markers a stuck stage is indistinguishable from a slow one."""
+    print(f"# bench: {msg}", file=sys.stderr, flush=True)
+
+
 def enable_compile_cache():
     """Persistent XLA compilation cache — first-run compiles through the
     remote-compile tunnel take many minutes; reruns must not."""
@@ -138,23 +146,27 @@ def bench_config2(live_denominator: bool = False):
     ]
     state = TL.init_state(cfg, batches[0])
     estep = TL.make_eval_step(cfg)
+    _progress("config2 eval compile+time")
     eval_sps = _timed_sps(lambda b: estep(state, b), batches, 1)
 
     # HLO-counted FLOPs (include dense-tail work on empty cells) AND
     # sparse-equivalent useful FLOPs from the realized rulebooks — both
     # reported so dense padding can't flatter round-over-round MFU.
     flops = None
+    _progress("config2 HLO cost analysis")
     try:
         analysis = cost_table(estep, state, batches[0])
         flops = float(analysis.get("flops", 0.0))
     except Exception:
         pass
     mfu = (flops * eval_sps / V5E_BF16_PEAK_FLOPS) if flops else None
+    _progress("config2 rulebook stats (useful flops)")
     stats = collect_rulebook_stats(cfg, batches[0])
     useful = useful_forward_flops(cfg, stats)
     useful_mfu = useful * eval_sps / V5E_BF16_PEAK_FLOPS
 
     # train step DONATES its input state — carry the returned one
+    _progress("config2 train compile+time")
     tstep = TL.make_train_step(cfg)
     s, m = tstep(state, batches[-1])
     jax.block_until_ready(m["total"])
@@ -167,6 +179,7 @@ def bench_config2(live_denominator: bool = False):
 
     # config-2's CONFIGURED batch size is 2 — also time the unrolled-batch
     # eval throughput at B=2 (VERDICT r2 weak 6: B>1 was unmeasured)
+    _progress("config2 B=2 eval compile+time")
     cfg2b = _config2(batch_size=2)
     b2 = [
         {k: jnp.stack([jnp.asarray(np_scenes[i][k]),
@@ -203,6 +216,7 @@ def bench_config2(live_denominator: bool = False):
 
 
 def bench_config3():
+    _progress("config3 S3DIS stress")
     """S3DIS stress shape (BASELINE config 3): 524k capacity, dense tail
     from scale 3, plus an overflow probe (625k points into 524k capacity —
     the config exists to stress exactly this)."""
@@ -256,6 +270,7 @@ def bench_config3():
 
 
 def bench_config4():
+    _progress("config4 KITTI anisotropic")
     """SemanticKITTI stress shape (BASELINE config 4): anisotropic voxels
     over a long-range sweep (~100x100x6 m at [0.1, 0.1, 0.15] m)."""
     import jax
@@ -351,9 +366,18 @@ def main():
     ap.add_argument("--stress", action="store_true",
                     help="also bench the config-3 (S3DIS 524k + overflow "
                          "probe) and config-4 (KITTI anisotropic) shapes")
+    ap.add_argument("--only", choices=["config1", "config2", "config3",
+                                       "config4"], default=None,
+                    help="run ONE part and print its dict (debug/compile "
+                         "warming; the driver JSON needs the full run)")
     args = ap.parse_args()
 
     enable_compile_cache()
+    if args.only:
+        part = {"config1": bench_config1, "config2": bench_config2,
+                "config3": bench_config3, "config4": bench_config4}[args.only]
+        print(json.dumps({args.only: part()}))
+        return
     c2 = bench_config2(live_denominator=args.live_denominator)
     c1 = bench_config1()
     stress = {}

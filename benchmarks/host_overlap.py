@@ -35,8 +35,14 @@ def main():
     from sparse_rcnn_tpu.data.pipeline import Loader
     from sparse_rcnn_tpu.train import loop as TL
 
+    # config 5 runs 1 scene per chip on a v5e-8 (batch 8 over 8 devices);
+    # the single visible chip therefore measures the per-chip workload at
+    # batch = #devices — batch 8 on ONE chip would be 8x the per-chip
+    # memory/compute and is not what any chip of the pod sees.
+    n_dev = len(jax.devices())
     cfg = load_config("configs/config5_v5e8_dp.yaml", overrides={
-        "data": {"dataset": "synthetic", "host_voxelize": True},
+        "data": {"dataset": "synthetic", "host_voxelize": True,
+                 "batch_size": n_dev},
         "parallel": {"num_devices": 0},
     })
     print(f"# device(s): {jax.devices()}, host_voxelize native available: "

@@ -113,10 +113,17 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        out = (feats.astype(jnp.float32) - mean) * inv + bias
-        out = out * mask[..., None].astype(jnp.float32)
-        return out.astype(self.dtype)
+        # Statistics above are f32 (fused into the reductions — no f32 copy
+        # of the activation is materialized); the NORMALIZE chain runs in
+        # the compute dtype. In bf16 models this keeps every elementwise
+        # temp bf16 — the f32 normalize chain materialized 512 MB HLO temps
+        # per dense-tail BN in the 2cm train step (the r3 OOM dump) and its
+        # cast-backward made f32 cotangent copies. Standard mixed-precision
+        # BN semantics: f32 stats, compute-dtype application.
+        cd = self.dtype
+        inv = (jax.lax.rsqrt(var + self.epsilon) * scale).astype(cd)
+        out = (feats.astype(cd) - mean.astype(cd)) * inv + bias.astype(cd)
+        return out * mask[..., None].astype(cd)
 
 
 class SparseBasicBlock(nn.Module):
