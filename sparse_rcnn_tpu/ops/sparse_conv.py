@@ -189,13 +189,36 @@ def blocked_matmul_conv(
 # Pencil chunk row cap: 192B (bf16 C<=32). Measured on the chip: 192B
 # pencil rows gather at ~3.5 ms/M rows (fast regime), 384B rows fall off a
 # cliff (~12 ms/M) — so at C=64 bf16 the plain per-tap 128B gathers win.
+# The CHANNEL-SLICED variant (2 gathers/pencil of 192B each, sharing one
+# anchor — 18·M rows vs blocked's 27·M) was built and MEASURED SLOWER:
+# 55.3 ms vs blocked 21.4 at C=64/219k sites — two same-index gathers do
+# not price like one (XLA commons the shared index into wider effective
+# rows and doubles the chunk-table assembly traffic). The implementation
+# stays (any cin works when calling pencil_matmul_conv directly; parity-
+# tested), but auto only ever picks single-slice pencils.
 _PENCIL_MAX_ROW_BYTES = 192
+
+
+def _pencil_slice_bounds(cin: int, dtype):
+    """Partition [0, cin) into the fewest near-even slices whose 3-tap
+    chunk rows fit the pencil byte cap."""
+    max_c = max(1, _PENCIL_MAX_ROW_BYTES // (3 * jnp.dtype(dtype).itemsize))
+    n = -(-cin // max_c)
+    base, rem = divmod(cin, n)
+    bounds, lo = [], 0
+    for i in range(n):
+        hi = lo + base + (1 if i < rem else 0)
+        bounds.append((lo, hi))
+        lo = hi
+    return bounds
 
 
 def _pencil_ok(k: int, cin: int, dtype) -> bool:
     if k != 27:  # static-slot extraction is derived for kz == 3
         return False
-    return 3 * cin * jnp.dtype(dtype).itemsize <= _PENCIL_MAX_ROW_BYTES
+    # single slice only: the 2-slice variant measured 2.6x SLOWER than the
+    # blocked executor at C=64 (see the cap comment above)
+    return len(_pencil_slice_bounds(cin, dtype)) == 1
 
 
 def _pencil_cat(f: jax.Array, kz: int) -> jax.Array:
@@ -205,7 +228,25 @@ def _pencil_cat(f: jax.Array, kz: int) -> jax.Array:
     return jnp.concatenate([fpad[i:m + i] for i in range(kz)], axis=1)
 
 
-def _pencil3_chunks(f3e, ix_t, c, center_slice=None):
+def _pencil_tables(f, bounds, m):
+    """Per-slice extended chunk tables + their center (identity) slices.
+
+    Table s is ``_pencil_cat`` of feature columns ``bounds[s]`` with two
+    zero rows prepended: row j holds feats rows (j-2, j-1, j), so a chunk
+    anchored at row ``a`` (legitimately -1 or -2 at the table's low edge)
+    lives at index a+2 ≥ 0 — no clip shift. The center slice (anchor i-1)
+    is a contiguous view, no gather."""
+    f3es, centers = [], []
+    for lo, hi in bounds:
+        fz = jnp.concatenate(
+            [jnp.zeros((2, hi - lo), f.dtype), f[:, lo:hi]], axis=0)
+        f3e = _pencil_cat(fz, 3)
+        f3es.append(f3e)
+        centers.append(f3e[1:m + 1])
+    return f3es, centers
+
+
+def _pencil3_chunks(f3es, ix_t, widths, center_slices=None):
     """Per-pencil STATIC-slot chunk extraction for kz == 3.
 
     Anchoring the gather at (middle-tap row - 1) whenever the middle (z)
@@ -218,44 +259,46 @@ def _pencil3_chunks(f3e, ix_t, c, center_slice=None):
     z-(j-1): within each triple, tap 3p+2 holds the z-1 key's row, 3p+1
     the z key's, 3p the z+1 key's.
 
-    ``f3e`` is the EXTENDED shifted-concat table (two zero rows prepended
-    before building chunks): f3e[j] = feats rows (j-2, j-1, j), so the
-    chunk anchored at row ``a`` (which can legitimately be -1 or -2 at the
-    table's low edge) lives at index a+2 >= 0 — no clip shift.
+    ``f3es``/``widths``: per-channel-slice extended chunk tables (see
+    :func:`_pencil_tables`) and their channel widths; the anchor is
+    computed once per pencil and each slice costs one gather.
 
-    Yields per pencil: (masked [b, 3C] block in slot order z-1,z,z+1,
-    tap indices (3p+2, 3p+1, 3p) matching those slots).
+    Yields per pencil: (list of masked [b, 3*c_s] blocks in slot order
+    z-1,z,z+1, tap indices (3p+2, 3p+1, 3p) matching those slots).
     """
     k, b = ix_t.shape
-    me = f3e.shape[0]
+    me = f3es[0].shape[0]
     n_pencils = k // 3
     for p in range(n_pencils):
         t0 = ix_t[3 * p + 2]      # row of key z-1 (or -1)
         t1 = ix_t[3 * p + 1]      # row of key z
         t2 = ix_t[3 * p]          # row of key z+1
         pm, p0, pp = t0 >= 0, t1 >= 0, t2 >= 0
-        if center_slice is not None and p == n_pencils // 2:
+        if center_slices is not None and p == n_pencils // 2:
             # identity center tap: the anchor is ALWAYS i-1 (row i-1 holds
             # the z-1 key iff present; i+1 the z+1 key iff present) — a
             # contiguous slice, no gather, no select
-            g3 = center_slice
+            srcs = center_slices
             fix = jnp.zeros_like(pm)  # (z present on every live row)
         else:
             # anchor: rows (a, a+1, a+2) hold keys (z-1, z, z+1) when the
             # corresponding tap is present — adjacent keys occupy adjacent
             # rows in the sorted unique table
             a = jnp.where(p0, t1 - 1, jnp.where(pm, t0, t2 - 2))
-            g3 = f3e[jnp.clip(a + 2, 0, me - 1)]     # [b, 3C] — THE gather
+            ga = jnp.clip(a + 2, 0, me - 1)
+            srcs = [f3e[ga] for f3e in f3es]         # THE gathers (1/slice)
             fix = pm & ~p0 & pp   # z+1 compressed into slot 1
-        c0 = g3[:, :c]
-        c1 = g3[:, c:2 * c]
-        c2 = jnp.where(fix[:, None], c1, g3[:, 2 * c:])
-        blk = jnp.concatenate([
-            c0 * pm[:, None].astype(c0.dtype),
-            c1 * p0[:, None].astype(c1.dtype),
-            c2 * pp[:, None].astype(c2.dtype),
-        ], axis=1)
-        yield blk, (3 * p + 2, 3 * p + 1, 3 * p)
+        blks = []
+        for g3, c in zip(srcs, widths):
+            c0 = g3[:, :c]
+            c1 = g3[:, c:2 * c]
+            c2 = jnp.where(fix[:, None], c1, g3[:, 2 * c:])
+            blks.append(jnp.concatenate([
+                c0 * pm[:, None].astype(c0.dtype),
+                c1 * p0[:, None].astype(c1.dtype),
+                c2 * pp[:, None].astype(c2.dtype),
+            ], axis=1))
+        yield blks, (3 * p + 2, 3 * p + 1, 3 * p)
 
 
 def pencil_matmul_conv(
@@ -264,32 +307,35 @@ def pencil_matmul_conv(
 ) -> jax.Array:
     """Flat (untiled) pencil executor (see the block comment above), K==27.
 
-    Each pencil contributes ONE [M, 3C] @ [3C, Cout] matmul whose left
-    operand is the statically-slotted masked chunk block — no im2col, one
-    select per pencil, 8 wide gathers + 1 slice per conv. Untiled on
-    purpose: the per-pencil transient is only [M, 3C] (~50 MB at 2cm
-    C=32), and tiling was measured 35% slower (256 small gathers + lax.map
-    overhead). Semantically identical to :func:`gather_matmul_conv` for
-    rulebooks that satisfy the pencil validity conditions (tests/parity).
-    ``center_identity`` may only be True when output row i IS input row i
-    (submanifold and its transpose) — the center pencil is then a slice.
+    Each pencil contributes one [M, 3c_s] @ [3c_s, Cout] matmul per channel
+    slice whose left operand is the statically-slotted masked chunk block —
+    no im2col, one select per pencil, (8 × n_slices) wide gathers + slices
+    per conv. Untiled on purpose: the per-pencil transient is only
+    [M, 3c_s] (~50 MB at 2cm C=32), and tiling was measured 35% slower
+    (256 small gathers + lax.map overhead). Semantically identical to
+    :func:`gather_matmul_conv` for rulebooks that satisfy the pencil
+    validity conditions (tests/parity). ``center_identity`` may only be
+    True when output row i IS input row i (submanifold and its transpose) —
+    the center pencil is then a slice.
     """
     out_dtype = jnp.promote_types(feats.dtype, weights.dtype)
     k, cin, cout = weights.shape
     assert k == 27, (k, "pencil executor supports 3x3x3 kernels")
+    bounds = _pencil_slice_bounds(cin, feats.dtype)
+    widths = [hi - lo for lo, hi in bounds]
 
     def per_scene(f, ix):
         m = ix.shape[1]
-        # extended chunk table: f3e[j] = feats rows (j-2, j-1, j); the
-        # chunk anchored at row a lives at index a+2 (see _pencil3_chunks)
-        fz = jnp.concatenate([jnp.zeros((2, cin), f.dtype), f], axis=0)
-        f3e = _pencil_cat(fz, 3)                             # [m+2, 3C]
-        cs = f3e[1:m + 1] if center_identity else None       # anchor i-1
+        f3es, centers = _pencil_tables(f, bounds, m)
+        cs = centers if center_identity else None
         w = weights.astype(f.dtype)
         acc = jnp.zeros((m, cout), jnp.float32)
-        for blk, taps in _pencil3_chunks(f3e, ix, cin, cs):
-            wp = jnp.concatenate([w[t] for t in taps], axis=0)  # [3C, Cout]
-            acc = acc + jnp.dot(blk, wp, preferred_element_type=jnp.float32)
+        for blks, taps in _pencil3_chunks(f3es, ix, widths, cs):
+            for blk, (lo, hi) in zip(blks, bounds):
+                wp = jnp.concatenate(
+                    [w[t, lo:hi] for t in taps], axis=0)     # [3c_s, Cout]
+                acc = acc + jnp.dot(
+                    blk, wp, preferred_element_type=jnp.float32)
         return acc
 
     return _unroll_scenes(per_scene, feats, idx).astype(out_dtype)
@@ -378,21 +424,22 @@ def _conv_dw(feats, idx, g, weights):
         # idx is the forward (identity-center) submanifold rulebook.
         # Explicit mode only: see _pick_bwd for why auto excludes the
         # pencil from the backward (train-step peak-HBM OOM at 2cm).
+        bounds = _pencil_slice_bounds(cin, feats.dtype)
+        widths = [hi - lo for lo, hi in bounds]
 
         def dw_scene(f, ix, gb):
             gb = gb.astype(f.dtype)
-            fz = jnp.concatenate(
-                [jnp.zeros((2, cin), f.dtype), f], axis=0)
-            f3e = _pencil_cat(fz, 3)
-            cs = f3e[1:m_out + 1]
-            parts = [None] * k
-            for blk, taps in _pencil3_chunks(f3e, ix, cin, cs):
-                dwp = jnp.dot(
-                    blk.T, gb, preferred_element_type=jnp.float32,
-                ).reshape(3, cin, cout)
-                for s, tap in enumerate(taps):
-                    parts[tap] = dwp[s]
-            return jnp.stack(parts)
+            f3es, centers = _pencil_tables(f, bounds, m_out)
+            parts = [[None] * len(bounds) for _ in range(k)]
+            for blks, taps in _pencil3_chunks(f3es, ix, widths, centers):
+                for si, blk in enumerate(blks):
+                    dwp = jnp.dot(
+                        blk.T, gb, preferred_element_type=jnp.float32,
+                    ).reshape(3, widths[si], cout)
+                    for s, tap in enumerate(taps):
+                        parts[tap][si] = dwp[s]
+            return jnp.stack(
+                [jnp.concatenate(ps, axis=0) for ps in parts])
 
         return _unroll_scenes(dw_scene, feats, idx, g).sum(axis=0)
 

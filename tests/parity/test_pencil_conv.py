@@ -130,6 +130,53 @@ def test_pencil_mode_selection():
     assert SC._best_executor(27, 32, 4096, jnp.bfloat16) is SC.pencil_matmul_conv
     assert not SC._pencil_ok(8, 32, jnp.bfloat16)       # k2s2 down conv
     assert not SC._pencil_ok(1, 32, jnp.bfloat16)       # 1x1 proj
-    # above the row-byte cap (C=64 bf16 = 384B rows): per-tap gathers win
+    # C=64 bf16 would need 2 slices — measured 2.6x slower than blocked on
+    # v5e (same-index gathers don't price independently), so auto keeps
+    # the per-tap blocked executor there
+    assert SC._pencil_slice_bounds(64, jnp.bfloat16) == [(0, 32), (32, 64)]
     assert not SC._pencil_ok(27, 64, jnp.bfloat16)
     assert SC._best_executor(27, 64, 4096, jnp.bfloat16) is not SC.pencil_matmul_conv
+    # uneven split stays within the cap
+    assert SC._pencil_slice_bounds(48, jnp.bfloat16) == [(0, 24), (24, 48)]
+    # backward executor choice never picks the pencil under auto
+    assert SC._best_executor(27, 32, 4096, jnp.bfloat16,
+                             auto_pencil=False) is not SC.pencil_matmul_conv
+
+
+@pytest.mark.parametrize("cin", [48, 64])
+def test_pencil_sliced_channels_forward_and_grads(cin):
+    """Channel-sliced pencil (2 gathers/pencil) == scan oracle, fwd + grads.
+
+    Multi-slice is MEASURED SLOWER on v5e and gated out of auto/pencil
+    modes (see _PENCIL_MAX_ROW_BYTES); this pins the generalized math for
+    direct callers via plain autodiff through the executor."""
+    cpad, n = make_sites(11)
+    idx = subm_idx(cpad, n)[None]
+    rng = np.random.default_rng(12)
+    m = cpad.shape[0]
+    f = jnp.asarray(rng.standard_normal((1, m, cin)), jnp.float32)
+    f = (f * (jnp.arange(m)[None, :, None] < n)).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((27, cin, 16)) * 0.1, jnp.bfloat16)
+    assert len(SC._pencil_slice_bounds(cin, f.dtype)) == 2
+    ref = SC.gather_matmul_conv(f, idx, w)
+    out = SC.pencil_matmul_conv(f, idx, w)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=5e-2, atol=5e-2)
+
+    def loss_pencil(f_, w_):
+        return jnp.sum(jnp.sin(
+            SC.pencil_matmul_conv(f_, idx, w_).astype(jnp.float32)))
+
+    def loss_oracle(f_, w_):
+        return jnp.sum(jnp.sin(
+            SC.gather_matmul_conv(f_, idx, w_).astype(jnp.float32)))
+
+    gf, gw = jax.grad(loss_pencil, argnums=(0, 1))(f, w)
+    rf, rw = jax.grad(loss_oracle, argnums=(0, 1))(f, w)
+    np.testing.assert_allclose(np.asarray(gf, np.float32),
+                               np.asarray(rf, np.float32),
+                               rtol=0.1, atol=0.1)
+    np.testing.assert_allclose(np.asarray(gw, np.float32),
+                               np.asarray(rw, np.float32),
+                               rtol=0.1, atol=0.5)
