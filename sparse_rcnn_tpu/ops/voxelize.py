@@ -122,6 +122,8 @@ def devoxelize(voxel_values: jax.Array, p2v: jax.Array, fill_value=0):
     Reference parity: SURVEY.md C25 (un-voxelizer) — needed because the
     ScanNet instance-mAP protocol scores *point* masks.
     """
+    from .batching import map_scenes
+
     def one(vals, idx):
         safe = jnp.clip(idx, 0, vals.shape[0] - 1)
         out = vals[safe]
@@ -131,4 +133,6 @@ def devoxelize(voxel_values: jax.Array, p2v: jax.Array, fill_value=0):
             out,
             jnp.asarray(fill_value, out.dtype),
         )
-    return jax.vmap(one)(voxel_values, p2v)
+    # batch policy (ops/batching.py): the N-point row gather must not take
+    # XLA's vmapped (batched) emitter — unroll/shard_map over scenes
+    return map_scenes(one, voxel_values, p2v)

@@ -131,6 +131,8 @@ def pool_instance_labels(gt, scales, max_level: int = None):
     Only levels [0, max_level] are built (dense-tail scales carry no
     down rulebooks, and only RPN scales need pooled labels anyway).
     """
+    from ..ops.batching import map_scenes
+
     n = len(scales) - 1 if max_level is None else max_level
     levels = [gt.voxel_instance]
     for s in range(n):
@@ -142,7 +144,9 @@ def pool_instance_labels(gt, scales, max_level: int = None):
             g = jnp.where(ix >= 0, v[safe], -1)
             return jnp.max(g, axis=0)
 
-        levels.append(jax.vmap(one)(prev, idx))
+        # batch policy (ops/batching.py): gathers under vmap take XLA's
+        # batched emitters — unroll/shard_map instead
+        levels.append(map_scenes(one, prev, idx))
     return levels
 
 
