@@ -13,7 +13,7 @@ pass reuses the *transposed* rulebook so grads w.r.t. the input features are
 also pure gathers (scatter-free, deterministic):
 
     d_feats[j] = sum_k g[t_idx[k, j]] @ W[k]^T
-    d_W[k]     = (feats[idx[k]] masked)^T @ g
+    d_W[k]     = feats^T @ (g[t_idx[k]] masked)   (same gathered array!)
 
 Two implementations:
   * :func:`gather_matmul_conv` — straight-line XLA (lax.scan over taps);
@@ -392,93 +392,163 @@ def _pick(feats, idx, weights):
     )
 
 
-def _pick_bwd(feats, idx, weights):
-    """Backward executor choice: like :func:`_pick`, but "auto" never picks
-    the pencil executor — the flat pencil's per-pencil [M, 3C] transients
-    are fine in the forward/eval program, but inside the fused train
-    step (fwd + bwd one XLA program) they raised peak HBM past v5e
-    capacity at the 2cm config-2 shape (measured OOM: 18.6 G needed vs
-    15.75 G). The bf16 blocked/concat path stays (that's what took train
-    0.34 → 0.51 sps); explicit ``set_executor_mode("pencil")`` still forces
-    the pencil backward for parity tests."""
-    return _best_executor(
-        weights.shape[0], weights.shape[1], idx.shape[-1], feats.dtype,
-        auto_pencil=False,
-    )
+# ---------------------------------------------------------------------------
+# Shared-gather backward (round 3): ONE sweep of the cotangent produces BOTH
+# gradients. Per tap, with t_idx[k] the per-tap transpose of idx[k]
+# (t_idx[k, j] = i iff idx[k, i] = j — exactly what transpose_rulebook and
+# the rulebook dualities supply, tap-aligned with W[k]):
+#
+#   d_f[j] = Σ_k G_k[j] @ W[k]^T        G_k = masked_gather(g, t_idx[k])
+#   d_W[k] = Σ_i f[idx_k[i]] g[i]^T     (reindex i → j = idx_k[i], injective)
+#          = Σ_j f[j] G_k[j]^T  =  f^T @ G_k
+#
+# so d_W's separate re-gather of `feats` (another K·M rows) is eliminated:
+# the SAME gathered cotangent feeds both contractions. Backward gather
+# traffic halves vs the two-sweep formulation — and these convs are
+# gather-bound, not FLOP-bound (BASELINE.md). Masking: missing pairs and
+# padding rows have t_idx = -1 → zero rows in G_k; `feats` padding rows may
+# be nonzero (post-BN) but only ever pair with those zero G_k rows.
+# ---------------------------------------------------------------------------
+
+# Auto-mode gate for the pencil executor INSIDE the shared backward. The
+# round-3 two-sweep pencil backward OOM'd the fused 2cm train step (18.6 G
+# needed vs 15.75 G HBM); the shared form has roughly half those transients
+# (one pencil table set over g instead of sets over g AND feats). Off until
+# the 2cm train step is re-measured with it on the chip; flip via
+# set_shared_pencil_bwd for the A/B.
+_SHARED_PENCIL_BWD = False
 
 
-def _conv_dw(feats, idx, g, weights):
-    """d_W[k] = Σ_b gathered_bk^T @ g_b — im2col when the gather buffer fits
-    the byte budget, row-blocked lax.scan accumulation otherwise.
+def set_shared_pencil_bwd(on: bool) -> None:
+    """Enable/disable the pencil fast path inside the shared backward
+    (auto mode only; explicit ``pencil`` mode always uses it). Trace-time."""
+    global _SHARED_PENCIL_BWD
+    _SHARED_PENCIL_BWD = bool(on)
 
-    Both operands stay in the compute dtype (bf16 for bf16 models) and only
-    the contraction accumulates in f32 (``preferred_element_type``): f32 row
-    gathers are measured 4x slower than bf16 on v5e (BASELINE.md), and the
-    MXU takes bf16 inputs at full rate.
+
+def _bwd_shared(feats, t_idx, weights, g):
+    """Fused backward: returns ``(d_f, d_W[f32])``.
+
+    ``t_idx`` must be tap-aligned per-tap transposes of the forward
+    rulebook (see block comment above). For odd cubic K the triples arrive
+    z-ASCENDING (both transpose_rulebook output and the flip-enumeration
+    duality t(subm) = subm[:, ::-1]); the pencil branch flips taps and
+    weights jointly back to the canonical z-descending convention
+    (numerically an identity permutation of the sum) and un-flips d_W.
+
+    Everything gathers in the compute dtype (bf16 row gathers are 4x
+    faster than f32 on v5e) and accumulates in f32 on the MXU.
     """
     k, cin, cout = weights.shape
-    m_out = idx.shape[-1]
+    m_in = feats.shape[-2]
+    m_out = g.shape[-2]
+    w_t = jnp.swapaxes(weights, -1, -2).astype(g.dtype)     # [K, Cout, Cin]
+    mode = _EXECUTOR_MODE
 
-    if _EXECUTOR_MODE == "pencil" and _pencil_ok(k, cin, feats.dtype):
-        # re-gather via pencils too (flat, like the forward executor) —
-        # idx is the forward (identity-center) submanifold rulebook.
-        # Explicit mode only: see _pick_bwd for why auto excludes the
-        # pencil from the backward (train-step peak-HBM OOM at 2cm).
-        bounds = _pencil_slice_bounds(cin, feats.dtype)
+    use_pencil = (
+        _pencil_ok(k, cout, g.dtype) and m_in == m_out
+        and (mode == "pencil" or (mode == "auto" and _SHARED_PENCIL_BWD))
+    )
+    if use_pencil:
+        # canonical z-descending convention for the pencil executor
+        ti = jnp.flip(t_idx, axis=-2)
+        wt = jnp.flip(w_t, axis=0)
+        bounds = _pencil_slice_bounds(cout, g.dtype)        # single slice
         widths = [hi - lo for lo, hi in bounds]
 
-        def dw_scene(f, ix, gb):
-            gb = gb.astype(f.dtype)
-            f3es, centers = _pencil_tables(f, bounds, m_out)
-            parts = [[None] * len(bounds) for _ in range(k)]
-            for blks, taps in _pencil3_chunks(f3es, ix, widths, centers):
-                for si, blk in enumerate(blks):
-                    dwp = jnp.dot(
-                        blk.T, gb, preferred_element_type=jnp.float32,
-                    ).reshape(3, widths[si], cout)
-                    for s, tap in enumerate(taps):
-                        parts[tap][si] = dwp[s]
-            return jnp.stack(
-                [jnp.concatenate(ps, axis=0) for ps in parts])
+        def scene(f, tix, gb):
+            f3es, centers = _pencil_tables(gb, bounds, m_in)
+            acc = jnp.zeros((m_in, cin), jnp.float32)
+            parts = [None] * k
+            for blks, taps in _pencil3_chunks(f3es, tix, widths, centers):
+                blk = blks[0]                               # [M, 3*Cout]
+                wp = jnp.concatenate([wt[t] for t in taps], axis=0)
+                acc = acc + jnp.dot(
+                    blk, wp, preferred_element_type=jnp.float32)
+                dwp = jnp.dot(                              # d_W: f^T @ G
+                    f.T, blk, preferred_element_type=jnp.float32,
+                ).reshape(cin, 3, cout)
+                for s, t in enumerate(taps):
+                    parts[t] = dwp[:, s]
+            return acc, jnp.stack(parts)                    # dw flipped enum
 
-        return _unroll_scenes(dw_scene, feats, idx, g).sum(axis=0)
+        d_f, dw = _unroll_scenes(scene, feats, ti, g)
+        return d_f, jnp.flip(dw.sum(axis=0), axis=0)
 
-    if _im2col_bytes(m_out, k, cin, feats.dtype) <= _IM2COL_MAX_BYTES:
-        def dw_scene(f, ix, gb):
-            safe = jnp.clip(ix, 0, f.shape[0] - 1)
-            gath = f[safe] * (ix >= 0)[..., None].astype(f.dtype)   # [K, M, Cin]
-            gath = jnp.swapaxes(gath, 0, 1).reshape(m_out, k * cin)
-            return jnp.dot(
-                gath.T, gb.astype(f.dtype),
-                preferred_element_type=jnp.float32,
-            ).reshape(k, cin, cout)
-    else:
-        def dw_scene(f, ix, gb):
-            b = min(_BLOCK_ROWS, m_out)
-            nt = -(-m_out // b)
-            pad = nt * b - m_out
-            ixp = jnp.pad(ix, ((0, 0), (0, pad)), constant_values=-1)
-            gp = jnp.pad(gb, ((0, pad), (0, 0)))
-            tiles_ix = jnp.swapaxes(ixp.reshape(k, nt, b), 0, 1)  # [nt, K, b]
-            tiles_g = gp.reshape(nt, b, cout).astype(f.dtype)
+    if mode == "scan":
+        def scene(f, tix, gb):
+            def step(acc, kw):
+                tix_k, wt_k = kw
+                G = _gather_rows(gb, tix_k)                 # [M_in, Cout]
+                d = jnp.dot(G, wt_k, preferred_element_type=jnp.float32)
+                dw_k = jnp.dot(
+                    f.T, G, preferred_element_type=jnp.float32)
+                return acc + d, dw_k
+            acc, dw = lax.scan(
+                step, jnp.zeros((m_in, cin), jnp.float32), (tix, w_t))
+            return acc, dw
 
-            def step(acc, t):
-                ix_t, g_t = t
-                safe = jnp.clip(ix_t, 0, f.shape[0] - 1)
-                gath = f[safe] * (ix_t >= 0)[..., None].astype(f.dtype)
-                # contraction over the b=block rows — full MXU depth
-                return acc + jnp.einsum(
-                    "kbc,bd->kcd", gath, g_t,
-                    preferred_element_type=jnp.float32,
-                ), None
+        d_f, dw = _unroll_scenes(scene, feats, t_idx, g)
+        return d_f, dw.sum(axis=0)
 
-            acc, _ = lax.scan(
-                step, jnp.zeros((k, cin, cout), jnp.float32),
-                (tiles_ix, tiles_g),
-            )
-            return acc
+    if mode == "concat" or (
+        mode in ("auto", "no_pencil")
+        and _im2col_bytes(m_in, k, cout, g.dtype) <= _IM2COL_MAX_BYTES
+    ):
+        def scene(f, tix, gb):
+            safe = jnp.clip(tix, 0, gb.shape[0] - 1)
+            G = gb[safe] * (tix >= 0)[..., None].astype(gb.dtype)
+            Gc = jnp.swapaxes(G, 0, 1).reshape(m_in, k * cout)
+            d = jnp.dot(
+                Gc, w_t.reshape(k * cout, cin),
+                preferred_element_type=jnp.float32)
+            dw = jnp.dot(                                   # [Cin, K*Cout]
+                f.T, Gc, preferred_element_type=jnp.float32,
+            ).reshape(cin, k, cout)
+            return d, jnp.swapaxes(dw, 0, 1)
 
-    return _unroll_scenes(dw_scene, feats, idx, g).sum(axis=0)
+        d_f, dw = _unroll_scenes(scene, feats, t_idx, g)
+        return d_f, dw.sum(axis=0)
+
+    # row-blocked shared backward: bounded transients at any M
+    use_pallas = mode == "pallas"
+    if use_pallas:
+        from . import pallas_conv as pc
+
+        interpret = jax.default_backend() != "tpu"
+
+    def scene(f, tix, gb):
+        b = min(_BLOCK_ROWS, m_in)
+        nt = -(-m_in // b)
+        pad = nt * b - m_in
+        tp = jnp.pad(tix, ((0, 0), (0, pad)), constant_values=-1)
+        fp = jnp.pad(f, ((0, pad), (0, 0)))
+        tiles_ix = jnp.swapaxes(tp.reshape(k, nt, b), 0, 1)  # [nt, K, b]
+        tiles_f = fp.reshape(nt, b, cin)
+
+        def step(dw_acc, t):
+            tix_t, f_t = t
+            safe = jnp.clip(tix_t, 0, gb.shape[0] - 1)
+            G = gb[safe] * (tix_t >= 0)[..., None].astype(gb.dtype)
+            if use_pallas:
+                d = pc.tap_accumulate_matmul(G, w_t, interpret=interpret)
+            else:
+                g2 = jnp.swapaxes(G, 0, 1).reshape(b, k * cout)
+                d = jnp.dot(
+                    g2, w_t.reshape(k * cout, cin),
+                    preferred_element_type=jnp.float32)
+            dw_acc = dw_acc + jnp.einsum(
+                "bc,kbd->kcd", f_t, G,
+                preferred_element_type=jnp.float32)
+            return dw_acc, d.astype(jnp.float32)
+
+        dw, d_tiles = lax.scan(
+            step, jnp.zeros((k, cin, cout), jnp.float32),
+            (tiles_ix, tiles_f))
+        return d_tiles.reshape(nt * b, cin)[:m_in], dw
+
+    d_f, dw = _unroll_scenes(scene, feats, t_idx, g)
+    return d_f, dw.sum(axis=0)
 
 
 @jax.custom_vjp
@@ -505,25 +575,16 @@ def _fwd(feats, idx, weights):
 def _bwd(res, g):
     feats, idx, weights = res
     m_in = feats.shape[1]
-    # Gather the cotangent in the COMPUTE dtype: the d_f executor is
+    # Gather the cotangent in the COMPUTE dtype: the shared backward is
     # gather-bound and f32 row gathers run 4x slower than bf16 on v5e
-    # (BASELINE.md). Accumulation inside the executor is f32 regardless
+    # (BASELINE.md). Accumulation inside is f32 regardless
     # (preferred_element_type), so only the cotangent rounds to bf16 —
     # standard mixed-precision backward semantics.
     g = g.astype(feats.dtype)
-    d_w = _conv_dw(feats, idx, g, weights)
-    # d_feats via transposed rulebook: pure gather, no scatter.
+    # d_feats AND d_W from one gather sweep via the transposed rulebook
+    # (pure gather, no scatter) — see _bwd_shared.
     t_idx = _unroll_scenes(lambda ix: rb.transpose_rulebook(ix, m_in), idx)
-    w_t = jnp.swapaxes(weights, -1, -2).astype(feats.dtype)  # [K, Cout, Cin]
-    ex = _pick_bwd(g, t_idx, w_t)
-    if ex is pencil_matmul_conv:
-        # transpose_rulebook's tap k answers coords[j] + offset_k, i.e.
-        # z-ASCENDING table rows within each triple — flip both (a joint
-        # tap permutation, numerically identity) back to the canonical
-        # z-descending convention the pencil executor expects.
-        t_idx = jnp.flip(t_idx, axis=-2)
-        w_t = jnp.flip(w_t, axis=0)
-    d_f = ex(g, t_idx, w_t)
+    d_f, d_w = _bwd_shared(feats, t_idx, weights, g)
     return d_f.astype(feats.dtype), None, d_w.astype(weights.dtype)
 
 
@@ -557,18 +618,11 @@ def _fwd_t(feats, idx, t_idx, weights):
 def _bwd_t(res, g):
     feats, idx, t_idx, weights = res
     g = g.astype(feats.dtype)  # bf16 gathers — see _bwd
-    d_w = _conv_dw(feats, idx, g, weights)
-    w_t = jnp.swapaxes(weights, -1, -2).astype(feats.dtype)
-    ex = _pick_bwd(g, t_idx, w_t)
-    if ex is pencil_matmul_conv:
-        # Odd cubic kernels arrive with the FLIP-enumeration transpose
-        # (t(subm) == idx[:, ::-1] — rulebook duality), whose triples are
-        # z-ascending. Σ_k gather(t[k])@W[k] is invariant under jointly
-        # permuting k, so flip both back to the canonical z-descending
-        # convention the pencil executor expects.
-        t_idx = jnp.flip(t_idx, axis=-2)
-        w_t = jnp.flip(w_t, axis=0)
-    d_f = ex(g, t_idx, w_t)
+    # The duality-supplied t_idx is tap-aligned with W (t_idx[k] is the
+    # per-tap transpose of idx[k]; for odd cubic K that's the
+    # flip-enumeration t(subm) == idx[:, ::-1], z-ascending triples —
+    # _bwd_shared's pencil branch re-flips to canonical order).
+    d_f, d_w = _bwd_shared(feats, t_idx, weights, g)
     return d_f.astype(feats.dtype), None, None, d_w.astype(weights.dtype)
 
 

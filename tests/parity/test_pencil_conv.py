@@ -124,6 +124,43 @@ def test_pencil_grads_sparse_conv_t_flip_transpose():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("use_t", [False, True])
+def test_shared_pencil_backward_auto_gate(use_t):
+    """auto + set_shared_pencil_bwd(True): the pencil branch of the fused
+    shared backward (one gather sweep feeding BOTH d_f and d_W) must match
+    scan-executor autodiff, through sparse_conv (transpose_rulebook t_idx,
+    z-ascending) and sparse_conv_t (flip-enumeration duality t_idx)."""
+    cpad, n = make_sites(13)
+    idx = subm_idx(cpad, n)[None]
+    t_idx = jnp.flip(idx, axis=1)
+    rng = np.random.default_rng(14)
+    m = cpad.shape[0]
+    f = jnp.asarray(rng.standard_normal((1, m, 8)), jnp.float32)
+    f = f * (jnp.arange(m)[None, :, None] < n)
+    w = jnp.asarray(rng.standard_normal((27, 8, 8)) * 0.1, jnp.float32)
+
+    def loss_custom(f_, w_):
+        out = (SC.sparse_conv_t(f_, idx, t_idx, w_) if use_t
+               else SC.sparse_conv(f_, idx, w_))
+        return jnp.sum(jnp.sin(out))
+
+    def loss_oracle(f_, w_):
+        return jnp.sum(jnp.sin(SC.gather_matmul_conv(f_, idx, w_)))
+
+    prev = SC._SHARED_PENCIL_BWD
+    SC.set_shared_pencil_bwd(True)
+    try:
+        assert SC._EXECUTOR_MODE == "auto"
+        gf, gw = jax.grad(loss_custom, argnums=(0, 1))(f, w)
+    finally:
+        SC.set_shared_pencil_bwd(prev)
+    rf, rw = jax.grad(loss_oracle, argnums=(0, 1))(f, w)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(rf),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_pencil_mode_selection():
     assert SC._pencil_ok(27, 32, jnp.bfloat16)
     # auto selects pencil inside the fast gather regime (<= 192B rows)
