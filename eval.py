@@ -15,6 +15,16 @@ def main():
     ap.add_argument("--set", action="append", dest="overrides")
     ap.add_argument("--split", default="val")
     ap.add_argument("--max-batches", type=int, default=None)
+    ap.add_argument("--step", type=int, default=None,
+                    help="checkpoint step to restore (default: latest) — "
+                         "e.g. the best-mAP step rather than the last")
+    ap.add_argument("--raw-params", action="store_true",
+                    help="with train.ema > 0: score the raw (last-step) "
+                         "weights of the SAME checkpoint instead of the EMA "
+                         "weights — the controlled drift comparison")
+    ap.add_argument("--best", action="store_true",
+                    help="restore from <checkpoint_dir>_best (the best-"
+                         "mid-run-mAP weights train.py retains)")
     args = ap.parse_args()
 
     import jax
@@ -32,13 +42,19 @@ def main():
     it = iter(loader)
     first = next(it)
     state = TL.init_state(cfg, first)
-    mgr = CK.make_manager(cfg.train.checkpoint_dir, cfg.train.keep_checkpoints)
-    restored = CK.restore(mgr, state)
+    ckpt_dir = cfg.train.checkpoint_dir + ("_best" if args.best else "")
+    mgr = CK.make_manager(ckpt_dir, cfg.train.keep_checkpoints)
+    restored = CK.restore(mgr, state, step=args.step)
     if restored is not None:
         state = restored
         log.log("restored", step=int(jax.device_get(state.step)))
     else:
         log.log("warning", message="no checkpoint found; evaluating random init")
+    if args.raw_params and state.ema_params is not None:
+        # the eval step reads ema_params when train.ema > 0; aliasing them
+        # to the raw params scores the unsmoothed weights of the same run
+        state = state.replace(ema_params=state.params)
+        log.log("eval_params", source="raw")
 
     # chain the first batch back in front
     def batches():

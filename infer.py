@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--num-scenes", type=int, default=1)
     ap.add_argument("--out-dir", default="inference_out")
     ap.add_argument("--ply", action="store_true")
+    ap.add_argument("--step", type=int, default=None,
+                    help="checkpoint step to restore (default: latest)")
+    ap.add_argument("--best", action="store_true",
+                    help="restore from <checkpoint_dir>_best")
     args = ap.parse_args()
 
     import jax
@@ -48,8 +52,10 @@ def main():
     it = iter(loader)
     first = next(it)
     state = TL.init_state(cfg, first)
+    ckpt_dir = cfg.train.checkpoint_dir + ("_best" if args.best else "")
     restored = CK.restore(
-        CK.make_manager(cfg.train.checkpoint_dir, cfg.train.keep_checkpoints), state
+        CK.make_manager(ckpt_dir, cfg.train.keep_checkpoints), state,
+        step=args.step,
     )
     if restored is not None:
         state = restored

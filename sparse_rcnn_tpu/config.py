@@ -115,6 +115,11 @@ class TrainConfig:
     total_steps: int = 10000
     optimizer: str = "adamw"              # adamw | sgd
     grad_clip: float = 10.0
+    # EMA decay for an evaluation copy of the params (0 = off). Counters
+    # the late-training detection-head drift seen on the hard synthetic
+    # benchmark (BASELINE.md quality notes): eval/checkpoint selection
+    # then score smoothed weights instead of the last noisy step.
+    ema: float = 0.0
     seed: int = 0
     log_every: int = 10
     eval_every: int = 500
@@ -228,3 +233,5 @@ def _validate(cfg: Config) -> None:
                 f"max RPN scale ({top_rpn}) must be <= dense_from_scale "
                 f"({dfs}): scales past the dense tail have no down rulebooks"
             )
+    if not 0.0 <= cfg.train.ema < 1.0:
+        raise ValueError(f"train.ema ({cfg.train.ema}) must be in [0, 1)")

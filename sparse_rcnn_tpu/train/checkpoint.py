@@ -22,9 +22,23 @@ def make_manager(directory: str, keep: int = 3) -> ocp.CheckpointManager:
     return ocp.CheckpointManager(directory, options=options)
 
 
+def _as_tree(state: TrainState) -> dict:
+    """TrainState → plain dict of its non-None fields.
+
+    Checkpoints are saved/restored as this dict so OPTIONAL state fields
+    (``ema_params`` is None when train.ema == 0) don't change the on-disk
+    structure: orbax's StandardRestore rejects a template whose *keys*
+    differ from the saved tree even when the extra field is an empty (None)
+    node. Old checkpoints (saved as the 5-field dataclass) match the
+    5-key dict template field-for-field.
+    """
+    return {f: getattr(state, f) for f in state.__dataclass_fields__
+            if getattr(state, f) is not None}
+
+
 def save(manager: ocp.CheckpointManager, state: TrainState) -> None:
     step = int(jax.device_get(state.step))
-    manager.save(step, args=ocp.args.StandardSave(state))
+    manager.save(step, args=ocp.args.StandardSave(_as_tree(state)))
 
 
 def restore(
@@ -34,9 +48,12 @@ def restore(
 ) -> Optional[TrainState]:
     """Restore latest (or given) step onto ``template``'s structure/sharding.
 
-    Returns None if no checkpoint exists.
+    Returns None if no checkpoint exists. A template with EMA enabled can
+    only restore checkpoints that carry ``ema_params`` (and vice versa) —
+    resuming across an EMA config change is an explicit error.
     """
     step = step if step is not None else manager.latest_step()
     if step is None:
         return None
-    return manager.restore(step, args=ocp.args.StandardRestore(template))
+    tree = manager.restore(step, args=ocp.args.StandardRestore(_as_tree(template)))
+    return template.replace(**tree)

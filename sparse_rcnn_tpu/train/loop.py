@@ -33,6 +33,12 @@ class TrainState:
     batch_stats: core.FrozenDict
     opt_state: Any
     rng: jax.Array
+    # Exponential moving average of params (cfg.train.ema > 0), used by
+    # eval. None when EMA is off — a None field is an EMPTY pytree node,
+    # so the state's leaf structure (and therefore orbax checkpoints)
+    # stays byte-identical to pre-EMA checkpoints
+    # (tests/e2e/test_train.py::test_checkpoint_restores_pre_ema_format).
+    ema_params: Any = None
 
 
 def make_schedule(cfg: Config):
@@ -188,16 +194,28 @@ def compute_losses(cfg: Config, out, scales, gt, row_mask):
 
 def init_state(cfg: Config, sample_batch: Dict[str, jax.Array]) -> TrainState:
     model = build_model(cfg)
-    st, _, scales, _, _ = prepare_inputs(cfg, sample_batch)
+    # One jitted program instead of eager op-at-a-time execution: eager
+    # init at the 2cm shape was ~20 min of serial tiny compiles through
+    # the device tunnel; a single compiled init is minutes cheaper and
+    # numerically identical (PRNG semantics are trace-invariant).
+    st, _, scales, _, _ = jax.jit(
+        functools.partial(prepare_inputs, cfg)
+    )(sample_batch)
     rng = jax.random.PRNGKey(cfg.train.seed)
     rng, init_rng = jax.random.split(rng)
-    variables = model.init(init_rng, st.feats, scales, train=False)
+    variables = jax.jit(
+        lambda r, f, s: model.init(r, f, s, train=False)
+    )(init_rng, st.feats, scales)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", core.FrozenDict())
     opt_state = make_optimizer(cfg).init(params)
     return TrainState(
         step=jnp.zeros((), jnp.int32), params=params,
         batch_stats=batch_stats, opt_state=opt_state, rng=rng,
+        # distinct buffers (jnp.copy): the train step donates the state, and
+        # aliasing params into ema_params would donate one buffer twice
+        ema_params=(jax.tree_util.tree_map(jnp.copy, params)
+                    if cfg.train.ema > 0 else None),
     )
 
 
@@ -241,6 +259,16 @@ def train_step(
         step=state.step + 1, params=new_params,
         batch_stats=new_stats, opt_state=new_opt, rng=next_rng,
     )
+    if cfg.train.ema > 0:
+        # debiased EMA: ramp the decay from 0 so early evals track params
+        # instead of the random init (standard (1+t)/(10+t) ramp capped
+        # at the configured decay)
+        t = state.step.astype(jnp.float32)
+        d = jnp.minimum(cfg.train.ema, (1.0 + t) / (10.0 + t))
+        new_state = new_state.replace(ema_params=jax.tree_util.tree_map(
+            lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+            state.ema_params, new_params,
+        ))
     return new_state, metrics
 
 
@@ -254,8 +282,10 @@ def eval_step(cfg: Config, state: TrainState, batch: Dict[str, jax.Array]):
 
     model = build_model(cfg)
     st, p2v, scales, gt, _ = prepare_inputs(cfg, batch)
+    # evaluate the EMA weights when configured (cfg is trace-static)
+    params = state.ema_params if cfg.train.ema > 0 else state.params
     out = model.apply(
-        {"params": state.params, "batch_stats": state.batch_stats},
+        {"params": params, "batch_stats": state.batch_stats},
         st.feats, scales, train=False,
     )
     vox_logits, _ = paint_instance_masks(out, scales)

@@ -111,6 +111,68 @@ def test_multiscale_rpn_train_step(cfg, batch):
     assert np.isfinite(np.asarray(out["cls_logits"])).all()
 
 
+def test_checkpoint_restores_pre_ema_format(cfg, batch, tmp_path):
+    """Checkpoints written before the ema_params field existed (a 5-key
+    tree: step/params/batch_stats/opt_state/rng) must keep restoring with
+    EMA-off configs — optional None fields may not leak into the on-disk
+    structure (checkpoint._as_tree)."""
+    import orbax.checkpoint as ocp
+
+    state = TL.init_state(cfg, batch)
+    assert state.ema_params is None
+    old_tree = {
+        "step": state.step, "params": state.params,
+        "batch_stats": state.batch_stats, "opt_state": state.opt_state,
+        "rng": state.rng,
+    }  # exactly the pre-EMA on-disk layout
+    mgr = CK.make_manager(str(tmp_path / "old_ckpt"), keep=1)
+    mgr.save(0, args=ocp.args.StandardSave(old_tree))
+    mgr.wait_until_finished()
+    restored = CK.restore(mgr, state)
+    assert restored is not None and restored.ema_params is None
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_params_track_and_checkpoint(batch, tmp_path):
+    """train.ema > 0: ema_params smooth toward params, the eval step uses
+    them, and they roundtrip through checkpoints."""
+    ecfg = load_config(overrides={
+        "data": {"num_points": 1024, "voxel_capacity": 512, "batch_size": 2,
+                  "voxel_size": [0.15, 0.15, 0.15]},
+        "model": {
+            "backbone": {"widths": [8, 16], "blocks_per_scale": 1},
+            "rpn": {"hidden": 16, "num_proposals": 8, "pre_nms_topk": 32},
+            "roi": {"grid_size": 4, "hidden": 16, "mask_grid": 8},
+            "num_classes": 4, "max_instances": 8,
+        },
+        "train": {"lr": 3e-3, "warmup_steps": 2, "total_steps": 50,
+                   "ema": 0.99},
+    })
+    state = TL.init_state(ecfg, batch)
+    assert state.ema_params is not None
+    step = TL.make_train_step(ecfg)
+    for _ in range(3):
+        state, _ = step(state, batch)
+    diffs = [float(jnp.abs(e.astype(jnp.float32) - p.astype(jnp.float32)).max())
+             for e, p in zip(jax.tree_util.tree_leaves(state.ema_params),
+                             jax.tree_util.tree_leaves(state.params))]
+    assert any(d > 0 for d in diffs), "EMA should lag the raw params"
+    # debias ramp: at step ~3 the effective decay is small, so the EMA
+    # must be far closer to params than to the init
+    out = TL.make_eval_step(ecfg)(state, batch)
+    assert np.isfinite(np.asarray(out["cls_logits"])).all()
+    mgr = CK.make_manager(str(tmp_path / "ema_ckpt"), keep=1)
+    CK.save(mgr, state)
+    mgr.wait_until_finished()
+    template = jax.tree_util.tree_map(np.zeros_like, state)
+    restored = CK.restore(mgr, template)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.ema_params),
+                    jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize("downsample", ["maxpool", "avgpool"])
 def test_pooling_downsample_and_dropout(downsample):
     """Config-wired pooling downsample + dropout (SURVEY.md C6/C8): trains,

@@ -72,6 +72,8 @@ def main():
 
     step_fn = make_parallel_train_step(cfg, mesh)
     timer = StepTimer(cfg.data.batch_size)
+    best_mgr = CK.make_manager(cfg.train.checkpoint_dir + "_best", keep=1)
+    best_map = float("-inf")
 
     with maybe_trace(args.profile):
         batch = first
@@ -89,12 +91,22 @@ def main():
                                num_scenes=len(eval_loader.dataset))
                 eval_loader.close()
                 log.log("eval", step=step, **res)
+                # retain the best-mAP@0.5 weights in a sibling manager so
+                # the rotating keep=N window can't drop them before the
+                # final post-hoc eval (`eval.py --best`)
+                score = res.get("mAP@0.5", res.get("mAP@0.25"))
+                if score is not None and score > best_map:
+                    best_map = score
+                    CK.save(best_mgr, state)
+                    log.log("checkpoint_best", step=step,
+                            map50=round(float(score), 4))
             if step % cfg.train.checkpoint_every == 0:
                 CK.save(mgr, state)
                 log.log("checkpoint", step=step)
 
     CK.save(mgr, state)
     mgr.wait_until_finished()
+    best_mgr.wait_until_finished()
     log.log("done", step=int(jax.device_get(state.step)))
     loader.close()
 
