@@ -45,11 +45,24 @@ class SemanticMIoUEvaluator:
 
 
 class InstanceAPEvaluator:
-    """Accumulate scenes, then compute mAP at given IoU thresholds."""
+    """Accumulate scenes, then compute mAP at given IoU thresholds.
 
-    def __init__(self, num_classes: int, iou_thresholds: Sequence[float] = (0.25, 0.5)):
+    With ``average_band`` (default, the ScanNet benchmark protocol) the
+    result also carries ``"mAP"``: AP averaged over the IoU band
+    0.5:0.95:0.05, next to the fixed-threshold ``mAP@0.25`` / ``mAP@0.5``.
+    Matching cost is amortized: the per-scene pred x gt IoU matrix is
+    computed once (one matmul) and every threshold replays the greedy
+    score-ordered matching from it.
+    """
+
+    BAND = tuple(round(0.5 + 0.05 * i, 2) for i in range(10))
+
+    def __init__(self, num_classes: int,
+                 iou_thresholds: Sequence[float] = (0.25, 0.5),
+                 average_band: bool = True):
         self.num_classes = num_classes
         self.iou_thresholds = tuple(iou_thresholds)
+        self.average_band = average_band
         self._preds: List[dict] = []  # per scene
 
     def add_scene(
@@ -71,45 +84,64 @@ class InstanceAPEvaluator:
             )
         )
 
-    def _match_scene(self, scene: dict, iou_t: float):
-        """Returns per-class lists of (score, tp) plus GT counts."""
-        out = defaultdict(list)
-        gt_count = defaultdict(int)
+    def _scene_cache(self, scene: dict) -> dict:
+        """Score-ordered valid preds + the pred x gt IoU matrix, computed
+        once per scene (a single f32 matmul over the point masks) and
+        reused by every threshold's matching pass."""
+        if "cache" in scene:
+            return scene["cache"]
         gt_ids = np.unique(scene["gt_instance"])
         gt_ids = gt_ids[gt_ids >= 0]
-        gt_masks = {g: scene["gt_instance"] == g for g in gt_ids}
-        for g in gt_ids:
-            c = int(scene["gt_classes"][g])
+        gt_classes = np.array(
+            [int(scene["gt_classes"][g]) for g in gt_ids], np.int64)
+        gt_count = defaultdict(int)
+        for c in gt_classes:
             if 0 <= c < self.num_classes:
-                gt_count[c] += 1
+                gt_count[int(c)] += 1
         order = np.argsort(-scene["pred_scores"])
-        matched = set()
-        for p in order:
-            if not scene["pred_valid"][p]:
+        keep = np.array(
+            [p for p in order
+             if scene["pred_valid"][p]
+             and 0 <= int(scene["pred_classes"][p]) < self.num_classes],
+            np.int64)
+        pm = scene["pred_masks"][keep] if len(keep) else \
+            np.zeros((0, scene["gt_instance"].shape[0]), bool)
+        n = scene["gt_instance"].shape[0]
+        gm = (np.stack([scene["gt_instance"] == g for g in gt_ids])
+              if len(gt_ids) else np.zeros((0, n), bool))
+        inter = pm.astype(np.float32) @ gm.astype(np.float32).T  # [Q, G]
+        psum = pm.sum(axis=1).astype(np.float32)
+        union = psum[:, None] + gm.sum(axis=1)[None, :].astype(np.float32) - inter
+        iou = inter / np.maximum(union, 1.0)
+        scene["cache"] = dict(
+            scores=scene["pred_scores"][keep],
+            classes=scene["pred_classes"][keep].astype(np.int64),
+            empty=psum == 0, iou=iou,
+            gt_classes=gt_classes, gt_count=gt_count,
+        )
+        return scene["cache"]
+
+    def _match_scene(self, scene: dict, iou_t: float):
+        """Returns per-class lists of (score, tp) plus GT counts. Greedy:
+        best-IoU unmatched same-class GT per pred, highest score first."""
+        cc = self._scene_cache(scene)
+        out = defaultdict(list)
+        matched = np.zeros(len(cc["gt_classes"]), bool)
+        for q in range(len(cc["scores"])):
+            c = int(cc["classes"][q])
+            score = float(cc["scores"][q])
+            if cc["empty"][q]:
+                out[c].append((score, 0))
                 continue
-            c = int(scene["pred_classes"][p])
-            if not (0 <= c < self.num_classes):
-                continue
-            pm = scene["pred_masks"][p]
-            if pm.sum() == 0:
-                out[c].append((float(scene["pred_scores"][p]), 0))
-                continue
-            best_iou, best_g = 0.0, None
-            for g in gt_ids:
-                if g in matched or int(scene["gt_classes"][g]) != c:
-                    continue
-                gm = gt_masks[g]
-                inter = np.logical_and(pm, gm).sum()
-                union = np.logical_or(pm, gm).sum()
-                iou = inter / max(union, 1)
-                if iou > best_iou:
-                    best_iou, best_g = iou, g
-            if best_g is not None and best_iou >= iou_t:
-                matched.add(best_g)
-                out[c].append((float(scene["pred_scores"][p]), 1))
+            cand = (cc["gt_classes"] == c) & ~matched
+            ious = np.where(cand, cc["iou"][q], 0.0)
+            best_g = int(np.argmax(ious)) if ious.size else -1
+            if best_g >= 0 and ious[best_g] > 0 and ious[best_g] >= iou_t:
+                matched[best_g] = True
+                out[c].append((score, 1))
             else:
-                out[c].append((float(scene["pred_scores"][p]), 0))
-        return out, gt_count
+                out[c].append((score, 0))
+        return out, cc["gt_count"]
 
     @staticmethod
     def _average_precision(scored: List, n_gt: int) -> float:
@@ -129,22 +161,25 @@ class InstanceAPEvaluator:
             prev_r = recall[i]
         return float(ap)
 
+    def _map_at(self, iou_t: float) -> float:
+        per_class = defaultdict(list)
+        gt_totals = defaultdict(int)
+        for scene in self._preds:
+            matches, counts = self._match_scene(scene, iou_t)
+            for c, lst in matches.items():
+                per_class[c].extend(lst)
+            for c, n in counts.items():
+                gt_totals[c] += n
+        aps = []
+        for c in range(self.num_classes):
+            if gt_totals[c] == 0:
+                continue
+            aps.append(self._average_precision(per_class[c], gt_totals[c]))
+        return float(np.mean(aps)) if aps else 0.0
+
     def compute(self) -> Dict[str, float]:
-        results = {}
-        for iou_t in self.iou_thresholds:
-            per_class = defaultdict(list)
-            gt_totals = defaultdict(int)
-            for scene in self._preds:
-                matches, counts = self._match_scene(scene, iou_t)
-                for c, lst in matches.items():
-                    per_class[c].extend(lst)
-                for c, n in counts.items():
-                    gt_totals[c] += n
-            aps = []
-            for c in range(self.num_classes):
-                if gt_totals[c] == 0:
-                    continue
-                aps.append(self._average_precision(per_class[c], gt_totals[c]))
-            key = f"mAP@{iou_t:g}"
-            results[key] = float(np.mean(aps)) if aps else 0.0
+        results = {f"mAP@{t:g}": self._map_at(t) for t in self.iou_thresholds}
+        if self.average_band:
+            # ScanNet benchmark "AP": the band average over IoU .5:.95:.05
+            results["mAP"] = float(np.mean([self._map_at(t) for t in self.BAND]))
         return results

@@ -90,3 +90,35 @@ def test_semantic_miou():
     # class0: tp1, fp1(from cls2), fn1 -> IoU 1/3; class1: tp2 fp1 -> 2/3; class2: tp1 fn1 -> 1/2
     assert abs(res["mIoU"] - np.mean([1/3, 2/3, 1/2])) < 1e-6
     assert abs(res["accuracy"] - 4/6) < 1e-6
+
+
+def test_band_average_map_scannet_protocol():
+    """"mAP" = AP averaged over IoU 0.5:0.95:0.05 (ScanNet benchmark).
+    A perfect mask scores 1.0; a mask with IoU ~0.733 passes 5 of the
+    10 band thresholds (.5 .55 .6 .65 .7) and fails the rest."""
+    ev = InstanceAPEvaluator(num_classes=2)
+    gt_instance, gt_classes = toy_scene()
+    n = len(gt_instance)
+    perfect = gt_instance == 0
+    # gt 1 covers 30 points (40:70); predict 22 of them + 0 spurious:
+    # IoU = 22/30 = 0.733 (comfortably between band points .7 and .75)
+    part = np.zeros(n, bool)
+    part[40:62] = True
+    ev.add_scene(np.stack([perfect, part]), np.array([0.9, 0.8]),
+                 np.array([0, 1]), np.array([True, True]),
+                 gt_instance, gt_classes, np.ones(n, bool))
+    res = ev.compute()
+    assert res["mAP@0.5"] == 1.0
+    # class 0 AP = 1 at every band threshold; class 1 AP = 1 for t <= .7,
+    # 0 above -> per-threshold mAP alternates 1.0 / 0.5; band mean = 0.75
+    assert abs(res["mAP"] - 0.75) < 1e-6
+
+
+def test_band_average_disabled():
+    ev = InstanceAPEvaluator(num_classes=2, average_band=False)
+    gt_instance, gt_classes = toy_scene()
+    n = len(gt_instance)
+    ev.add_scene(np.stack([gt_instance == 0]), np.array([0.9]),
+                 np.array([0]), np.array([True]),
+                 gt_instance, gt_classes, np.ones(n, bool))
+    assert "mAP" not in ev.compute()
