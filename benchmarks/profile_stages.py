@@ -35,6 +35,13 @@ def main():
     ap.add_argument("--stages", default="voxelize,hierarchy,eval")
     ap.add_argument("--dense", type=int, default=0,
                     help="dense_from_scale (0 = fully sparse)")
+    ap.add_argument("--shared-pencil-bwd", type=int, default=None,
+                    help="0/1: override the auto-mode gate for the pencil "
+                         "branch of the shared backward (A/B)")
+    ap.add_argument("--subm-second-half", default=None,
+                    choices=["antisym", "direct"],
+                    help="submanifold rulebook second-half construction "
+                         "(scatter-transpose vs direct bulk lookup) A/B")
     ap.add_argument("--extent", default="512,512,256")
     args = ap.parse_args()
 
@@ -54,6 +61,12 @@ def main():
     from sparse_rcnn_tpu.train import loop as TL
 
     SC.set_executor_mode(args.executor)
+    if args.shared_pencil_bwd is not None:
+        SC.set_shared_pencil_bwd(bool(args.shared_pencil_bwd))
+    if args.subm_second_half is not None:
+        from sparse_rcnn_tpu.ops import rulebook as RB
+
+        RB.set_subm_second_half(args.subm_second_half)
     widths = tuple(int(w) for w in args.widths.split(","))
     bb = {"widths": list(widths), "blocks_per_scale": args.blocks,
           "dtype": args.dtype}

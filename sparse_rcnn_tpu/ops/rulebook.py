@@ -41,6 +41,24 @@ def _sorted_keys(coords: jax.Array, nvalid: jax.Array):
     return coord_ops.pack_coords(coords, mask), mask
 
 
+# Second-half construction for centered (antisymmetric) offset sets:
+#   "antisym"  — look up only the first K//2 offsets, derive the rest as
+#                per-tap transposes (ONE scatter of K//2 · M elements);
+#   "direct"   — query all K-1 offsets through the same single flat
+#                sort-merge (2x the sort/scan volume, zero scatters).
+# v5e calculus: scatters ~7 ms/M elements vs sort ~2.75 + scans ~2.4 ms/M
+# (BASELINE.md) — which side wins depends on the realized hit rate and the
+# sort's log factor; both are built so the A/B is one flag on the chip.
+_SUBM_SECOND_HALF = "antisym"
+
+
+def set_subm_second_half(mode: str) -> None:
+    """Trace-time A/B switch for submanifold second-half construction."""
+    global _SUBM_SECOND_HALF
+    assert mode in ("antisym", "direct"), mode
+    _SUBM_SECOND_HALF = mode
+
+
 def submanifold_rulebook(
     coords: jax.Array, nvalid: jax.Array, kernel_size
 ) -> jax.Array:
@@ -54,6 +72,15 @@ def submanifold_rulebook(
     (hi, lo), mask = _sorted_keys(coords, nvalid)
     offsets = coord_ops.kernel_offsets(kernel_size, centered=True)
     k = offsets.shape[0]
+    center = jnp.where(mask, jnp.arange(m, dtype=jnp.int32), -1)[None]
+    if _SUBM_SECOND_HALF == "direct":
+        # all non-center offsets through ONE flat sort-merge, no scatters
+        offs = jnp.concatenate([offsets[: k // 2], offsets[k // 2 + 1:]])
+        q = coords[None, :, :] - offs[:, None, :]         # [K-1, M, 3]
+        qhi, qlo = coord_ops.pack_coords(q, mask[None, :])
+        full = coord_ops.table_lookup_bulk(hi, lo, qhi, qlo)
+        return jnp.concatenate(
+            [full[: k // 2], center, full[k // 2:]], axis=0)
     # Two structural freebies halve the lookup work: the centered offset
     # enumeration is antisymmetric (offsets[K-1-k] == -offsets[k]), and
     # idx[-δ] is exactly the transpose of idx[δ] (coords[j] == coords[i]-δ
@@ -68,7 +95,6 @@ def submanifold_rulebook(
     q = coords[None, :, :] - offsets[:half, None, :]      # [K//2, M, 3]
     qhi, qlo = coord_ops.pack_coords(q, mask[None, :])
     first = coord_ops.table_lookup_bulk(hi, lo, qhi, qlo)
-    center = jnp.where(mask, jnp.arange(m, dtype=jnp.int32), -1)[None]
     second = transpose_rulebook(first, m)                 # [K//2, M]
     return jnp.concatenate([first, center, second[::-1]], axis=0)
 

@@ -41,6 +41,21 @@ def test_submanifold_rulebook_vs_bruteforce(rng):
     np.testing.assert_array_equal(idx, expected)
 
 
+def test_submanifold_rulebook_direct_mode_matches(rng):
+    """The "direct" second-half construction (all offsets through one bulk
+    lookup, zero scatters) must equal the antisym+transpose default."""
+    c = sorted_unique_coords(rng, 200)
+    n, cap = len(c), 256
+    cpad = jnp.asarray(pad(c, cap))
+    base = np.asarray(R.submanifold_rulebook(cpad, jnp.int32(n), 3))
+    R.set_subm_second_half("direct")
+    try:
+        direct = np.asarray(R.submanifold_rulebook(cpad, jnp.int32(n), 3))
+    finally:
+        R.set_subm_second_half("antisym")
+    np.testing.assert_array_equal(direct, base)
+
+
 def test_submanifold_center_tap_is_identity(rng):
     c = sorted_unique_coords(rng, 100)
     n, cap = len(c), 128
