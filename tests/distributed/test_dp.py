@@ -69,3 +69,32 @@ def test_dp_batch_actually_sharded(cfg, batch):
     pbatch = shard_batch(batch, mesh)
     shard_counts = {len(pbatch["points"].sharding.device_set)}
     assert shard_counts == {8}
+
+
+def test_dp_step_with_ema_matches_single_device(batch):
+    """EMA update under GSPMD (plain tree_map outside shard_map) must track
+    the single-device EMA exactly."""
+    ecfg = load_config(overrides={
+        "data": {"num_points": 512, "voxel_capacity": 256, "batch_size": 8,
+                  "voxel_size": [0.2, 0.2, 0.2]},
+        "model": {
+            "backbone": {"widths": [8, 16], "blocks_per_scale": 1},
+            "rpn": {"hidden": 8, "num_proposals": 4, "pre_nms_topk": 16},
+            "roi": {"grid_size": 3, "hidden": 8, "mask_grid": 6},
+            "num_classes": 3, "max_instances": 6,
+        },
+        "train": {"ema": 0.9},
+    })
+    state = TL.init_state(ecfg, batch)
+    sstep = TL.make_train_step(ecfg)
+    s_ref, _ = sstep(jax.tree_util.tree_map(jnp.copy, state), batch)
+
+    mesh = make_mesh()
+    pstate = replicate_state(jax.tree_util.tree_map(jnp.copy, state), mesh)
+    pbatch = shard_batch(batch, mesh)
+    pstep = make_parallel_train_step(ecfg, mesh)
+    s_par, _ = pstep(pstate, pbatch)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.ema_params),
+                    jax.tree_util.tree_leaves(s_par.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
