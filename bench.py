@@ -356,9 +356,24 @@ def bench_config1():
             "mean_voxels": round(cpu_info["mean_voxels"])}
 
 
-def main():
-    import jax
+def _device_probe(timeout_s: int = 300) -> bool:
+    """The axon tunnel can wedge for hours (claim leg hangs INSIDE
+    jax.devices() — seen 2026-08-17). Probe backend init in a SUBPROCESS
+    with a timeout so a dead tunnel yields an honest JSON error line for
+    the driver instead of an infinite hang."""
+    import subprocess
 
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0])"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--live-denominator", action="store_true",
                     help="re-measure the CPU twin at the config-2 shape "
@@ -371,6 +386,19 @@ def main():
                     help="run ONE part and print its dict (debug/compile "
                          "warming; the driver JSON needs the full run)")
     args = ap.parse_args()
+
+    if not _device_probe():
+        print(json.dumps({
+            "metric": "config2_scenes_per_sec_2cm_eval",
+            "value": 0.0,
+            "unit": "scenes/sec/chip",
+            "vs_baseline": 0.0,
+            "error": "device backend init timed out (axon tunnel down) — "
+                     "no measurement possible this run; see BASELINE.md "
+                     "for the last measured numbers",
+        }))
+        return
+    import jax
 
     enable_compile_cache()
     if args.only:
