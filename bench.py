@@ -356,11 +356,12 @@ def bench_config1():
             "mean_voxels": round(cpu_info["mean_voxels"])}
 
 
-def _device_probe(timeout_s: int = 300) -> bool:
+def _device_probe(timeout_s: int = 300):
     """The axon tunnel can wedge for hours (claim leg hangs INSIDE
     jax.devices() — seen 2026-08-17). Probe backend init in a SUBPROCESS
     with a timeout so a dead tunnel yields an honest JSON error line for
-    the driver instead of an infinite hang."""
+    the driver instead of an infinite hang. Returns None when healthy,
+    else the error description (timeout vs crash distinguished)."""
     import subprocess
 
     try:
@@ -368,9 +369,13 @@ def _device_probe(timeout_s: int = 300) -> bool:
             [sys.executable, "-c",
              "import jax; print(jax.devices()[0])"],
             timeout=timeout_s, capture_output=True, text=True)
-        return r.returncode == 0
+        if r.returncode == 0:
+            return None
+        return (f"device probe subprocess exited rc={r.returncode}: "
+                f"{(r.stderr or '').strip()[-300:]}")
     except subprocess.TimeoutExpired:
-        return False
+        return (f"device backend init timed out after {timeout_s}s "
+                "(axon tunnel down)")
 
 
 def main():
@@ -387,15 +392,15 @@ def main():
                          "warming; the driver JSON needs the full run)")
     args = ap.parse_args()
 
-    if not _device_probe():
+    probe_err = _device_probe()
+    if probe_err is not None:
         print(json.dumps({
             "metric": "config2_scenes_per_sec_2cm_eval",
             "value": 0.0,
             "unit": "scenes/sec/chip",
             "vs_baseline": 0.0,
-            "error": "device backend init timed out (axon tunnel down) — "
-                     "no measurement possible this run; see BASELINE.md "
-                     "for the last measured numbers",
+            "error": probe_err + " — no measurement possible this run; "
+                     "see BASELINE.md for the last measured numbers",
         }))
         return
     import jax

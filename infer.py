@@ -52,7 +52,8 @@ def main():
     it = iter(loader)
     first = next(it)
     state = TL.init_state(cfg, first)
-    ckpt_dir = cfg.train.checkpoint_dir + ("_best" if args.best else "")
+    ckpt_dir = (CK.best_dir(cfg.train.checkpoint_dir) if args.best
+                else cfg.train.checkpoint_dir)
     restored = CK.restore(
         CK.make_manager(ckpt_dir, cfg.train.keep_checkpoints), state,
         step=args.step,

@@ -540,7 +540,10 @@ def _bwd_shared(feats, t_idx, weights, g):
             dw_acc = dw_acc + jnp.einsum(
                 "bc,kbd->kcd", f_t, G,
                 preferred_element_type=jnp.float32)
-            return dw_acc, d.astype(jnp.float32)
+            # stack d_f tiles in the COMPUTE dtype: f32 tiles double the
+            # [M, Cin] d_f transient on the HBM-bound 2cm path, and the
+            # caller casts d_f to feats.dtype anyway
+            return dw_acc, d.astype(gb.dtype)
 
         dw, d_tiles = lax.scan(
             step, jnp.zeros((k, cin, cout), jnp.float32),

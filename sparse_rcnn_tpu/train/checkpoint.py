@@ -22,6 +22,34 @@ def make_manager(directory: str, keep: int = 3) -> ocp.CheckpointManager:
     return ocp.CheckpointManager(directory, options=options)
 
 
+def best_dir(checkpoint_dir: str) -> str:
+    """The sibling directory where train.py retains the best-mid-run-mAP
+    weights (one naming convention for train.py / eval.py / infer.py)."""
+    return checkpoint_dir.rstrip("/") + "_best"
+
+
+def read_best_score(checkpoint_dir: str) -> float:
+    """Best mAP recorded in the _best sidecar (-inf if none) — seeds the
+    best tracker across --resume so a worse post-resume eval can't
+    overwrite the retained best weights."""
+    import json
+
+    path = os.path.join(os.path.abspath(best_dir(checkpoint_dir)), "best.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["score"])
+    except (OSError, ValueError, KeyError):
+        return float("-inf")
+
+
+def write_best_score(checkpoint_dir: str, score: float, step: int) -> None:
+    import json
+
+    path = os.path.join(os.path.abspath(best_dir(checkpoint_dir)), "best.json")
+    with open(path, "w") as f:
+        json.dump({"score": float(score), "step": int(step)}, f)
+
+
 def _as_tree(state: TrainState) -> dict:
     """TrainState → plain dict of its non-None fields.
 
@@ -52,6 +80,8 @@ def restore(
     only restore checkpoints that carry ``ema_params`` (and vice versa) —
     resuming across an EMA config change is an explicit error.
     """
+    if step is not None and step not in manager.all_steps():
+        return None  # explicit missing step → same fallback as "no ckpt"
     step = step if step is not None else manager.latest_step()
     if step is None:
         return None

@@ -72,8 +72,10 @@ def main():
 
     step_fn = make_parallel_train_step(cfg, mesh)
     timer = StepTimer(cfg.data.batch_size)
-    best_mgr = CK.make_manager(cfg.train.checkpoint_dir + "_best", keep=1)
-    best_map = float("-inf")
+    best_mgr = CK.make_manager(CK.best_dir(cfg.train.checkpoint_dir), keep=1)
+    # seeded from the sidecar so --resume can't let a worse post-resume
+    # eval overwrite the retained best weights (keep=1 rotation)
+    best_map = CK.read_best_score(cfg.train.checkpoint_dir)
 
     with maybe_trace(args.profile):
         batch = first
@@ -98,6 +100,7 @@ def main():
                 if score is not None and score > best_map:
                     best_map = score
                     CK.save(best_mgr, state)
+                    CK.write_best_score(cfg.train.checkpoint_dir, score, step)
                     log.log("checkpoint_best", step=step,
                             map50=round(float(score), 4))
             if step % cfg.train.checkpoint_every == 0:
