@@ -292,11 +292,17 @@ def eval_step(cfg: Config, state: TrainState, batch: Dict[str, jax.Array]):
     point_logits = V.devoxelize(
         jnp.swapaxes(vox_logits, 1, 2), p2v, fill_value=-1e9
     )  # [B, N, P]
+    pml = jnp.swapaxes(point_logits, 1, 2)                      # [B, P, N]
     result = {
         "proposal_scores": out["proposal_scores"],
         "proposal_mask": out["proposal_mask"],
         "cls_logits": out["cls_logits"],
-        "point_mask_logits": jnp.swapaxes(point_logits, 1, 2),  # [B, P, N]
+        "point_mask_logits": pml,
+        # thresholded ON DEVICE at sigmoid 0.5 (logit 0): the evaluator
+        # only needs booleans, and arrays are fetched per-key — pulling
+        # the bool instead of the f32 logits cuts eval host transfer 4x
+        # (at 2cm: 268 MB -> 67 MB per batch through the tunnel)
+        "point_mask_bool": pml > 0.0,
         "gt": gt,
     }
     if cfg.model.use_semantic_head:

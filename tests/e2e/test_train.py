@@ -205,3 +205,13 @@ def test_pooling_downsample_and_dropout(downsample):
     # eval (dropout inert) runs clean
     out = TL.make_eval_step(cfg)(s1, batch)
     assert np.isfinite(np.asarray(out["cls_logits"], np.float32)).all()
+
+
+def test_eval_device_thresholded_masks_match_logits(cfg, batch):
+    """point_mask_bool (device-thresholded, the evaluator's fetch path)
+    must equal thresholding the f32 logits on host at sigmoid 0.5."""
+    state = TL.init_state(cfg, batch)
+    out = TL.make_eval_step(cfg)(state, batch)
+    np.testing.assert_array_equal(
+        np.asarray(out["point_mask_bool"]),
+        np.asarray(out["point_mask_logits"]) > 0.0)
