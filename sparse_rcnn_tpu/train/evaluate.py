@@ -26,9 +26,11 @@ def postprocess_scene(
     pred_cls = fg_prob.argmax(-1)
     obj = 1 / (1 + np.exp(-np.clip(np.asarray(out["proposal_scores"][b]), -30, 30)))
     scores = fg_prob.max(-1) * obj
-    if mask_threshold == 0.5 and "point_mask_bool" in out:
-        # device-thresholded path: fetch bools, never pull the f32 logits
-        masks = np.asarray(out["point_mask_bool"][b])
+    if mask_threshold == 0.5 and "point_mask_bits" in out:
+        # device-thresholded bit-packed path: never pull the f32 logits
+        n = out["point_mask_logits"].shape[-1]
+        masks = np.unpackbits(
+            np.asarray(out["point_mask_bits"][b]), axis=-1)[:, :n] > 0
     else:
         point_logits = np.asarray(out["point_mask_logits"][b])  # [P, N]
         masks = point_logits > np.log(mask_threshold / (1 - mask_threshold))

@@ -298,11 +298,12 @@ def eval_step(cfg: Config, state: TrainState, batch: Dict[str, jax.Array]):
         "proposal_mask": out["proposal_mask"],
         "cls_logits": out["cls_logits"],
         "point_mask_logits": pml,
-        # thresholded ON DEVICE at sigmoid 0.5 (logit 0): the evaluator
-        # only needs booleans, and arrays are fetched per-key — pulling
-        # the bool instead of the f32 logits cuts eval host transfer 4x
-        # (at 2cm: 268 MB -> 67 MB per batch through the tunnel)
-        "point_mask_bool": pml > 0.0,
+        # thresholded ON DEVICE at sigmoid 0.5 (logit 0) and bit-packed:
+        # the evaluator only needs booleans, and arrays are fetched
+        # per-key — pulling packed bits instead of the f32 logits cuts
+        # eval host transfer 32x (at 2cm: 268 MB -> 8.4 MB per batch
+        # through the tunnel); host side unpacks + slices to N
+        "point_mask_bits": jnp.packbits(pml > 0.0, axis=-1),
         "gt": gt,
     }
     if cfg.model.use_semantic_head:

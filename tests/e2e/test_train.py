@@ -208,10 +208,20 @@ def test_pooling_downsample_and_dropout(downsample):
 
 
 def test_eval_device_thresholded_masks_match_logits(cfg, batch):
-    """point_mask_bool (device-thresholded, the evaluator's fetch path)
-    must equal thresholding the f32 logits on host at sigmoid 0.5."""
+    """point_mask_bits (device-thresholded + bit-packed, the evaluator's
+    fetch path) must unpack to exactly the host-thresholded f32 logits at
+    sigmoid 0.5 — including the postprocess_scene slice-to-N path."""
+    from sparse_rcnn_tpu.train.evaluate import postprocess_scene
+
     state = TL.init_state(cfg, batch)
     out = TL.make_eval_step(cfg)(state, batch)
+    n = out["point_mask_logits"].shape[-1]
+    unpacked = np.unpackbits(
+        np.asarray(out["point_mask_bits"]), axis=-1)[..., :n] > 0
     np.testing.assert_array_equal(
-        np.asarray(out["point_mask_bool"]),
-        np.asarray(out["point_mask_logits"]) > 0.0)
+        unpacked, np.asarray(out["point_mask_logits"]) > 0.0)
+    # the evaluator path and the logits path agree per scene
+    m_bits, s1, c1, v1 = postprocess_scene(out, 0, 4)
+    m_log, s2, c2, v2 = postprocess_scene(
+        {k: v for k, v in out.items() if k != "point_mask_bits"}, 0, 4)
+    np.testing.assert_array_equal(m_bits, m_log)
