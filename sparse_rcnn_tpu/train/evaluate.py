@@ -13,6 +13,23 @@ from ..utils.metrics import InstanceAPEvaluator, SemanticMIoUEvaluator
 from . import loop as TL
 
 
+def _gt_classes_from_points(
+    pinst: np.ndarray, psem: np.ndarray, valid: np.ndarray
+) -> np.ndarray:
+    """Class per GT instance id (index = id) from per-point labels: the max
+    semantic label among the instance's valid points (matches data/gt.py's
+    device-side segment-max derivation bit-for-bit)."""
+    pi = pinst[valid]
+    ps = psem[valid]
+    keep = pi >= 0
+    pi, ps = pi[keep], ps[keep]
+    if pi.size == 0:
+        return np.zeros((0,), np.int64)
+    out = np.full(int(pi.max()) + 1, -1, np.int64)
+    np.maximum.at(out, pi, ps)
+    return out
+
+
 def postprocess_scene(
     out: Dict[str, np.ndarray], b: int, num_classes: int,
     mask_threshold: float = 0.5,
@@ -72,7 +89,15 @@ def run_eval(
             )
             point_valid = np.asarray(batch["valid"][b])
             pinst = np.asarray(batch["point_instance"][b])
-            gt_cls = np.asarray(gt.classes[b])
+            # GT classes per instance id from the RAW point labels, not the
+            # capacity-capped device GT (gt.classes stops at max_instances;
+            # per-point ids don't, and a scene with more instances than the
+            # target capacity must still SCORE all of them — over-capacity
+            # instances count as unmatched GT, an honest recall hit, instead
+            # of crashing or silently vanishing). Same semantics as
+            # data/gt.py: class = segment-max of point semantics per id.
+            gt_cls = _gt_classes_from_points(
+                pinst, np.asarray(batch["point_semantic"][b]), point_valid)
             ev.add_scene(masks, scores, pred_cls, pmask, pinst, gt_cls, point_valid)
             if "point_semantic_pred" in out:
                 sem_ev.add(

@@ -108,6 +108,14 @@ def prepare_inputs(cfg: Config, batch: Dict[str, jax.Array]):
         "voxel_overflow": jnp.sum(ovf),
         "hierarchy_overflow": jnp.sum(hovf),
         "voxels_per_scene": jnp.mean(st.nvalid.astype(jnp.float32)),
+        # GT instance-capacity overflow: points whose instance id does not
+        # fit max_instances (build_scene_gt's segment ops drop those ids
+        # from boxes/classes — deterministic policy, but it must be
+        # countable, not silent; the evaluator still scores them as
+        # unmatched GT via the raw point labels)
+        "gt_instance_overflow": jnp.sum(
+            batch["valid"] & (batch["point_instance"] >= cfg.model.max_instances)
+        ),
     }
     dfs = cfg.model.backbone.dense_from_scale
     if dfs is not None:

@@ -122,3 +122,32 @@ def test_band_average_disabled():
                  np.array([0]), np.array([True]),
                  gt_instance, gt_classes, np.ones(n, bool))
     assert "mAP" not in ev.compute()
+
+
+def test_gt_classes_from_points_covers_all_ids():
+    """Evaluator GT classes derive from RAW point labels so instance ids
+    beyond model.max_instances still score (as unmatched GT) instead of
+    crashing — the device GT caps classes at capacity, point ids don't."""
+    from sparse_rcnn_tpu.train.evaluate import _gt_classes_from_points
+
+    pinst = np.array([0, 0, 5, 5, 5, -1, 2, 7])
+    psem = np.array([3, 3, 1, 1, 2, 9, 0, 4])
+    valid = np.ones(8, bool)
+    cls = _gt_classes_from_points(pinst, psem, valid)
+    assert cls.shape == (8,)
+    # segment-max semantics (matches data/gt.py) incl. the mixed-label id 5
+    assert cls[0] == 3 and cls[5] == 2 and cls[2] == 0 and cls[7] == 4
+    # ids with no points -> -1 (never produced by np.unique(gt_instance))
+    assert cls[1] == -1 and cls[3] == -1
+    # invalid points are ignored entirely
+    cls2 = _gt_classes_from_points(pinst, psem, np.zeros(8, bool))
+    assert cls2.shape == (0,)
+
+    # the evaluator scores a scene whose ids exceed any "capacity": the
+    # extra instance is unmatched GT, halving class-3 recall is not needed
+    # here (different classes) but AP must compute without error
+    ev = InstanceAPEvaluator(num_classes=10)
+    ev.add_scene(np.stack([pinst == 0]), np.array([0.9]), np.array([3]),
+                 np.array([True]), pinst, cls, valid)
+    res = ev.compute()
+    assert res["mAP@0.5"] > 0.0

@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--log-file", default=None)
+    ap.add_argument("--tensorboard", default=None, metavar="DIR",
+                    help="mirror numeric metrics to TensorBoard event files")
     args = ap.parse_args()
 
     from sparse_rcnn_tpu.config import load_config
@@ -52,7 +54,7 @@ def main():
     from sparse_rcnn_tpu.utils.profiling import StepTimer, maybe_trace
 
     cfg = load_config(args.config, parse_overrides(args.overrides))
-    log = JsonlLogger(args.log_file)
+    log = JsonlLogger(args.log_file, tb_dir=args.tensorboard)
     log.log("config", name=cfg.name, devices=len(jax.devices()))
 
     mesh = make_mesh(cfg.parallel.num_devices, cfg.parallel.data_axis)
