@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--best", action="store_true",
                     help="restore from <checkpoint_dir>_best (the best-"
                          "mid-run-mAP weights train.py retains)")
+    ap.add_argument("--per-class", action="store_true",
+                    help="also report AP@t per class id (ScanNet-style table)")
     args = ap.parse_args()
 
     import jax
@@ -63,7 +65,7 @@ def main():
         yield from it
 
     res = run_eval(cfg, state, batches(), max_batches=args.max_batches,
-                   num_scenes=len(loader.dataset))
+                   num_scenes=len(loader.dataset), per_class=args.per_class)
     log.log("eval", **res)
     loader.close()
 

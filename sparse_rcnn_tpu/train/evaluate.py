@@ -61,6 +61,7 @@ def run_eval(
     max_batches: Optional[int] = None,
     eval_step=None,
     num_scenes: Optional[int] = None,
+    per_class: bool = False,
 ) -> Dict[str, float]:
     """Score ``loader``'s batches. ``num_scenes`` (the eval split size) makes
     the wrap-padded tail of the last batch score each scene exactly once:
@@ -105,7 +106,7 @@ def run_eval(
                     np.asarray(batch["point_semantic"][b])[point_valid],
                 )
             seen += 1
-    res = ev.compute()
+    res = ev.compute(per_class=per_class)
     if "point_semantic_pred" in out:
         sem = sem_ev.compute()
         res["semantic_mIoU"] = sem["mIoU"]

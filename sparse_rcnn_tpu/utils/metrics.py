@@ -161,7 +161,10 @@ class InstanceAPEvaluator:
             prev_r = recall[i]
         return float(ap)
 
-    def _map_at(self, iou_t: float) -> float:
+    def class_aps(self, iou_t: float) -> Dict[int, float]:
+        """AP per class id at one IoU threshold. Classes with no GT in the
+        accumulated scenes are omitted (the ScanNet protocol averages over
+        present classes only)."""
         per_class = defaultdict(list)
         gt_totals = defaultdict(int)
         for scene in self._preds:
@@ -170,16 +173,24 @@ class InstanceAPEvaluator:
                 per_class[c].extend(lst)
             for c, n in counts.items():
                 gt_totals[c] += n
-        aps = []
-        for c in range(self.num_classes):
-            if gt_totals[c] == 0:
-                continue
-            aps.append(self._average_precision(per_class[c], gt_totals[c]))
-        return float(np.mean(aps)) if aps else 0.0
+        return {
+            c: self._average_precision(per_class[c], gt_totals[c])
+            for c in range(self.num_classes)
+            if gt_totals[c] > 0
+        }
 
-    def compute(self) -> Dict[str, float]:
+    def _map_at(self, iou_t: float) -> float:
+        aps = self.class_aps(iou_t)
+        return float(np.mean(list(aps.values()))) if aps else 0.0
+
+    def compute(self, per_class: bool = False) -> Dict[str, float]:
         results = {f"mAP@{t:g}": self._map_at(t) for t in self.iou_thresholds}
         if self.average_band:
             # ScanNet benchmark "AP": the band average over IoU .5:.95:.05
             results["mAP"] = float(np.mean([self._map_at(t) for t in self.BAND]))
+        if per_class:
+            # ScanNet-style per-class table: AP@t for each fixed threshold
+            for t in self.iou_thresholds:
+                for c, ap in self.class_aps(t).items():
+                    results[f"AP@{t:g}/class{c}"] = float(ap)
         return results

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from sparse_rcnn_tpu.utils.metrics import InstanceAPEvaluator
 
@@ -151,3 +152,23 @@ def test_gt_classes_from_points_covers_all_ids():
                  np.array([True]), pinst, cls, valid)
     res = ev.compute()
     assert res["mAP@0.5"] > 0.0
+
+
+def test_per_class_ap_table():
+    """compute(per_class=True) emits AP@t/class{c} for classes with GT;
+    the mAP stays the mean of exactly those entries."""
+    ev = InstanceAPEvaluator(num_classes=3, average_band=False)
+    gt_instance, gt_classes = toy_scene()  # gt 0 -> class 0, gt 1 -> class 1
+    n = len(gt_instance)
+    ev.add_scene(np.stack([gt_instance == 0, np.zeros(n, bool)]),
+                 np.array([0.9, 0.8]), np.array([0, 1]),
+                 np.array([True, True]), gt_instance, gt_classes,
+                 np.ones(n, bool))
+    res = ev.compute(per_class=True)
+    assert res["AP@0.5/class0"] == 1.0
+    assert res["AP@0.5/class1"] == 0.0
+    assert "AP@0.5/class2" not in res  # no GT of class 2
+    assert res["mAP@0.5"] == pytest.approx(
+        (res["AP@0.5/class0"] + res["AP@0.5/class1"]) / 2)
+    # default stays table-free
+    assert all(not k.startswith("AP@") for k in ev.compute())
