@@ -203,10 +203,13 @@ class SemanticKITTIDataset:
             raw = np.fromfile(label_path, dtype=np.uint32)
             sem = (raw & 0xFFFF).astype(np.int32)
             inst_raw = (raw >> 16).astype(np.int32)
-            # re-index instances densely; 0 = no instance
+            # re-index instances densely; 0 = no instance (vectorized —
+            # the per-id mask loop was O(ids x N) per sweep on the host)
             inst = np.full(len(points), -1, np.int32)
-            for new, old in enumerate(np.unique(inst_raw[inst_raw > 0])):
-                inst[inst_raw == old] = new
+            pos = inst_raw > 0
+            if pos.any():
+                _, inv = np.unique(inst_raw[pos], return_inverse=True)
+                inst[pos] = inv.astype(np.int32)
         else:
             sem = np.full(len(points), -1, np.int32)
             inst = np.full(len(points), -1, np.int32)
