@@ -120,6 +120,13 @@ class TrainConfig:
     # benchmark (BASELINE.md quality notes): eval/checkpoint selection
     # then score smoothed weights instead of the last noisy step.
     ema: float = 0.0
+    # Accumulate gradients over k micro-batches before each optimizer
+    # update (optax.MultiSteps, mean grads): reference-sized effective
+    # batches (k x batch_size scenes) on one HBM-bound chip — the fused
+    # 2cm train step caps batch_size at 2. total_steps / warmup_steps
+    # stay in MICRO-steps (loader iterations); the LR schedule advances
+    # once per optimizer update.
+    grad_accum_steps: int = 1
     seed: int = 0
     log_every: int = 10
     eval_every: int = 500
@@ -191,6 +198,8 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) ->
 
 
 def _validate(cfg: Config) -> None:
+    if cfg.train.grad_accum_steps < 1:
+        raise ValueError("train.grad_accum_steps must be >= 1")
     roi = cfg.model.roi
     if roi.mask_grid != 2 * roi.grid_size:
         raise ValueError(

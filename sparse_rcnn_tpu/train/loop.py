@@ -42,12 +42,16 @@ class TrainState:
 
 
 def make_schedule(cfg: Config):
-    warmup = min(cfg.train.warmup_steps, max(cfg.train.total_steps // 10, 0))
+    # config step counts are MICRO-steps; the schedule is consumed once per
+    # optimizer update, i.e. every grad_accum_steps micro-steps
+    k = max(1, cfg.train.grad_accum_steps)
+    total = max(cfg.train.total_steps // k, 1)
+    warmup = min(cfg.train.warmup_steps // k, max(total // 10, 0))
     return optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=cfg.train.lr,
         warmup_steps=warmup,
-        decay_steps=max(cfg.train.total_steps, warmup + 1),
+        decay_steps=max(total, warmup + 1),
         end_value=cfg.train.lr * 0.01,
     )
 
@@ -58,7 +62,13 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         opt = optax.sgd(sched, momentum=0.9)
     else:
         opt = optax.adamw(sched, weight_decay=cfg.train.weight_decay)
-    return optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip), opt)
+    opt = optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip), opt)
+    if cfg.train.grad_accum_steps > 1:
+        # mean-accumulate k micro-grads, apply the inner chain (clip +
+        # optimizer) to the MEAN on every k-th call — numerically the
+        # large-batch update, at micro-batch activation memory
+        opt = optax.MultiSteps(opt, every_k_schedule=cfg.train.grad_accum_steps)
+    return opt
 
 
 def build_model(cfg: Config) -> SparseRCNN:
@@ -273,6 +283,13 @@ def train_step(
         # at the configured decay)
         t = state.step.astype(jnp.float32)
         d = jnp.minimum(cfg.train.ema, (1.0 + t) / (10.0 + t))
+        if cfg.train.grad_accum_steps > 1:
+            # only smooth on micro-steps that APPLIED an update (MultiSteps
+            # wraps back to mini_step 0 after applying): params are frozen
+            # in between, and repeated no-op smoothing would drag the EMA
+            # toward the frozen params k x faster than configured
+            applied = (new_opt.mini_step == 0).astype(jnp.float32)
+            d = 1.0 - (1.0 - d) * applied
         new_state = new_state.replace(ema_params=jax.tree_util.tree_map(
             lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
             state.ema_params, new_params,
