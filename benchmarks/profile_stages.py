@@ -29,7 +29,14 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--executor", default="auto")
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--voxel", type=float, default=0.02)
+    ap.add_argument("--voxel", default="0.02",
+                    help="voxel size: one float or x,y,z (anisotropic, "
+                         "config 4)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize residual blocks (config 3)")
+    ap.add_argument("--scene-extent", type=float, default=8.0,
+                    help="synthetic scene extent in meters")
+    ap.add_argument("--classes", type=int, default=18)
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--proposals", type=int, default=128)
     ap.add_argument("--stages", default="voxelize,hierarchy,eval")
@@ -69,20 +76,23 @@ def main():
         RB.set_subm_second_half(args.subm_second_half)
     widths = tuple(int(w) for w in args.widths.split(","))
     bb = {"widths": list(widths), "blocks_per_scale": args.blocks,
-          "dtype": args.dtype}
+          "dtype": args.dtype, "remat": args.remat}
     if args.dense:
         bb["dense_from_scale"] = args.dense
         bb["grid_extent"] = [int(e) for e in args.extent.split(",")]
+    vox_sizes = [float(v) for v in args.voxel.split(",")]
+    if len(vox_sizes) == 1:
+        vox_sizes = vox_sizes * 3
     cfg = load_config(overrides={
         "data": {"num_points": args.points, "voxel_capacity": args.cap,
                   "batch_size": args.batch,
-                  "voxel_size": [args.voxel] * 3},
+                  "voxel_size": vox_sizes},
         "model": {
             "backbone": bb,
             "rpn": {"hidden": 128, "num_proposals": args.proposals,
                      "pre_nms_topk": 4 * args.proposals, "rpn_scales": [0, 1]},
             "roi": {"grid_size": 7, "hidden": 128, "mask_grid": 14},
-            "num_classes": 18, "max_instances": 64,
+            "num_classes": args.classes, "max_instances": 64,
         },
     })
     dev = jax.devices()[0]
@@ -91,8 +101,8 @@ def main():
 
     scenes = [
         synthetic.generate_scene(7 + i, num_points=args.points,
-                                 num_instances=12, num_classes=18,
-                                 extent=8.0)
+                                 num_instances=12, num_classes=args.classes,
+                                 extent=args.scene_extent)
         for i in range(args.batch)
     ]
     batch = {k: jnp.asarray(np.stack([s[k] for s in scenes]))
@@ -154,15 +164,29 @@ def main():
             estep = TL.make_eval_step(cfg)
             timed("eval_step", lambda b: estep(state, b), batch, vary=0)
         if "train" in want or args.train:
+            # make_train_step donates the state (argnum 0), so the timed
+            # loop must CHAIN states — re-calling with an already-donated
+            # state surfaces through the axon relay as an opaque
+            # "TPU backend error (InvalidArgument)" at execution time.
             tstep = TL.make_train_step(cfg)
-            state2, _ = tstep(state, batch)
-            jax.block_until_ready(state2)
-
-            def one(b):
-                s2, m = tstep(state, b)
-                return m["total"]
-
-            timed("train_step", one, batch, vary=0)
+            tstate = TL.init_state(cfg, batch)  # fresh: `state` feeds eval
+            tstate, _ = tstep(tstate, batch)    # compile + warm
+            jax.block_until_ready(tstate)
+            variants = []
+            for i in range(args.iters):
+                b = jax.tree_util.tree_map(
+                    lambda a: a + jnp.zeros_like(a) + (i + 1) * 1e-6
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, batch)
+                variants.append(jax.block_until_ready(b))
+            t0 = time.perf_counter()
+            for b in variants:
+                tstate, m = tstep(tstate, b)
+            jax.block_until_ready(m["total"])
+            dt = (time.perf_counter() - t0) / args.iters
+            print(json.dumps({"stage": "train_step",
+                              "ms_per_scene":
+                              round(dt * 1000.0 / args.batch, 2)}),
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -32,6 +32,10 @@ class DataConfig:
     elastic_distortion: bool = False
     num_workers: int = 2
     prefetch: int = 2
+    # synthetic-only: per-split scene-pool size (None = max(64, batch*8)).
+    # The 64-scene default overfits detection heads within ~2.5k steps
+    # (BASELINE.md quality tables); quality runs should raise this.
+    num_scenes: Optional[int] = None
     # voxelize in host workers via the C++ core (overlapped with device
     # compute, BASELINE config 5); falls back to device voxelize if the
     # native library is unavailable

@@ -249,7 +249,8 @@ def build_dataset(cfg, split: str):
         # disjoint scene pools per split (seed offset), like real splits
         split_seed = {"train": 0, "val": 1, "test": 2}.get(split, 3)
         return SyntheticDataset(
-            num_scenes=max(64, d.batch_size * 8), num_points=d.num_points,
+            num_scenes=d.num_scenes or max(64, d.batch_size * 8),
+            num_points=d.num_points,
             num_classes=cfg.model.num_classes, num_features=d.num_features,
             seed=split_seed,
             difficulty="hard" if d.dataset == "synthetic_hard" else "easy",

@@ -176,3 +176,13 @@ def test_loader_to_train_step_all_formats(tmp_path, rng):
         total = float(metrics["total"])
         assert np.isfinite(total), (dataset, metrics)
         assert float(metrics["voxels_per_scene"]) > 0, dataset
+
+
+def test_synthetic_num_scenes_knob():
+    # data.num_scenes overrides the max(64, batch*8) synthetic pool default
+    # (the 64-scene pool overfits detection heads — BASELINE.md quality notes)
+    cfg = load_config(overrides={"data": {"dataset": "synthetic_hard",
+                                          "num_scenes": 17}})
+    assert len(build_dataset(cfg, "train")) == 17
+    cfg = load_config(overrides={"data": {"dataset": "synthetic_hard"}})
+    assert len(build_dataset(cfg, "train")) == 64
