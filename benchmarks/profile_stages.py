@@ -158,6 +158,33 @@ def main():
 
         timed("model_fwd", fwd, st.feats, scales, vary=0)
 
+    if "fwdsplit" in want:
+        # Attribute the backbone forward by jit-timing nested prefixes of
+        # the SAME network (profile_cut; XLA DCEs everything past the cut):
+        # encoder = t(enc); dense tail = t(tail) - t(enc);
+        # sparse decoder = t(backbone) - t(tail); heads = t(model) - t(bb).
+        from sparse_rcnn_tpu.models.unet import SparseUNet
+
+        bbcfg = cfg.model.backbone
+        bbm = SparseUNet(
+            widths=bbcfg.widths, blocks_per_scale=bbcfg.blocks_per_scale,
+            kernel_size=bbcfg.kernel_size,
+            dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+            remat=bbcfg.remat, dense_from_scale=bbcfg.dense_from_scale,
+            grid_extent=bbcfg.grid_extent, downsample=bbcfg.downsample,
+            dropout=bbcfg.dropout)
+        scales, _ = hier(st)
+        bvars = bbm.init(jax.random.PRNGKey(0), st.feats, scales,
+                         train=False)
+        cuts = ["encoder"]
+        if bbcfg.dense_from_scale:
+            cuts.append("dense_tail")
+        cuts.append(None)
+        for cut in cuts:
+            fn = jax.jit(lambda f, sc, _c=cut: bbm.apply(
+                bvars, f, sc, train=False, profile_cut=_c))
+            timed(f"bb_to_{cut or 'full'}", fn, st.feats, scales, vary=0)
+
     if "loss" in want or "grad" in want:
         # Decompose the train step (VERDICT r2 item 2: "where does train
         # time go"): fwd_loss = prepare_inputs + forward + losses (no

@@ -211,7 +211,13 @@ class SparseUNet(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, feats: jax.Array, scales: List[ScaleSet], train: bool = False):
+    def __call__(self, feats: jax.Array, scales: List[ScaleSet],
+                 train: bool = False, profile_cut: Optional[str] = None):
+        """``profile_cut`` (static, profiling only — benchmarks/profile_stages
+        ``fwdsplit``): return early after the named stage ("encoder" |
+        "dense_tail") so stage costs can be attributed by jit-timing nested
+        prefixes of the SAME network (XLA dead-code-eliminates the rest;
+        Flax ignores the unused params at apply time)."""
         ns = len(self.widths)
         assert len(scales) == ns, (len(scales), ns)
         n_sparse = self.dense_from_scale if self.dense_from_scale else ns
@@ -256,6 +262,9 @@ class SparseUNet(nn.Module):
                     )(x)
                     x = x * _mask(scales[s + 1])[..., None].astype(x.dtype)
 
+        if profile_cut == "encoder":
+            return [x]
+
         outputs = [None] * ns
         if n_sparse < ns:
             # dense tail over scales [n_sparse, ns)
@@ -278,6 +287,9 @@ class SparseUNet(nn.Module):
             x = outputs[s0]
         else:
             outputs[ns - 1] = x
+        if profile_cut == "dense_tail":
+            assert n_sparse < ns, "no dense tail configured"
+            return outputs[n_sparse:]
 
         # sparse decoder: transitions s+1 → s for every sparse scale (the
         # topmost consumed output is the dense tail's projection when a
