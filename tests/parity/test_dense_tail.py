@@ -129,6 +129,28 @@ def test_dense_tail_equivalence():
             err_msg=f"scale {s} dense != sparse")
 
 
+def test_profile_cut_prefixes_match_full_forward():
+    """benchmarks/profile_stages ``fwdsplit`` relies on profile_cut returning
+    the SAME intermediate values the full forward produces (the cut only
+    truncates the program). The dense-tail outputs are finalized before the
+    sparse decoder runs, so the dense_tail cut must equal that suffix of the
+    full output exactly; the encoder cut must be a single finite array."""
+    st, scales = _inputs()
+    s0 = 1
+    net = SparseUNet(widths=WIDTHS, blocks_per_scale=1,
+                     dense_from_scale=s0, grid_extent=EXTENT)
+    vs = net.init(jax.random.PRNGKey(1), st.feats, scales, False)
+    full = net.apply(vs, st.feats, scales, False)
+    tail = net.apply(vs, st.feats, scales, False, profile_cut="dense_tail")
+    assert len(tail) == len(WIDTHS) - s0
+    for i, t in enumerate(tail):
+        np.testing.assert_array_equal(
+            np.asarray(full[s0 + i]), np.asarray(t),
+            err_msg=f"dense_tail cut diverges at scale {s0 + i}")
+    (enc,) = net.apply(vs, st.feats, scales, False, profile_cut="encoder")
+    assert np.isfinite(np.asarray(enc)).all()
+
+
 def test_dense_tail_train_step_matches_structure():
     """Dense-mode training end to end: finite loss + grads flow to the
     dense tail's params."""
