@@ -42,6 +42,22 @@ CPU_TWIN_2CM = {
 }
 V5E_BF16_PEAK_FLOPS = 197e12
 
+# Last measured on-chip stress-shape numbers (configs 3/4), carried into
+# the default driver JSON so round-over-round stress throughput stays
+# visible without paying their compile time every bench run (VERDICT r3
+# missing 4). `--stress` re-measures live and REPLACES these; the `source`
+# field always says which kind a row is.
+STRESS_CACHED = {
+    "config3_s3dis": {
+        "eval_sps": 0.48, "train_sps": 0.158, "mean_voxels": 523034,
+        "source": "cached chiplog 2026-08-17 (pass --stress to re-measure)",
+    },
+    "config4_kitti": {
+        "eval_sps": 3.43, "train_sps": 1.42, "mean_voxels": 42462,
+        "source": "cached chiplog 2026-08-17 (pass --stress to re-measure)",
+    },
+}
+
 
 def _progress(msg: str) -> None:
     """Stage marker on stderr (stdout carries only the driver's JSON line).
@@ -68,7 +84,13 @@ def enable_compile_cache():
 
 
 def _timed_sps(fn, batches, batch_size):
-    """scenes/sec over distinct pre-staged batches (relay dedup-safe)."""
+    """scenes/sec over distinct pre-staged batches (relay dedup-safe).
+
+    Used for EVAL steps only: each distinct batch is timed once, back to
+    back. Train steps are timed separately inline — they DONATE the state,
+    so a train loop must chain the returned state through the iterations
+    (see the train timing blocks below); the two protocols measure the
+    same thing (N dispatches of distinct work, one block_until_ready)."""
     import jax
 
     out = fn(batches[-1])
@@ -89,7 +111,11 @@ def _config2(batch_size: int = 1):
         "model": {
             "backbone": {"widths": [32, 64, 96, 128, 160],
                           "blocks_per_scale": 2, "dtype": "bfloat16",
+                          # per-mode tail boundary, as shipped in
+                          # configs/config2_scannet_2cm.yaml: eval dense-2,
+                          # train dense-3 (measured -11% train, BASELINE.md)
                           "dense_from_scale": 2,
+                          "dense_from_scale_train": 3,
                           "grid_extent": [512, 512, 256]},
             "rpn": {"hidden": 128, "num_proposals": 128,
                      "pre_nms_topk": 512, "rpn_scales": [0, 1]},
@@ -229,10 +255,10 @@ def bench_config2(live_denominator: bool = False):
 
 
 def bench_config3():
-    _progress("config3 S3DIS stress")
     """S3DIS stress shape (BASELINE config 3): 524k capacity, dense tail
     from scale 3, plus an overflow probe (625k points into 524k capacity —
     the config exists to stress exactly this)."""
+    _progress("config3 S3DIS stress")
     import jax
     import jax.numpy as jnp
 
@@ -426,10 +452,12 @@ def main():
         return
     c2 = bench_config2(live_denominator=args.live_denominator)
     c1 = bench_config1()
-    stress = {}
+    stress = dict(STRESS_CACHED)
     if args.stress:
-        stress = {"config3_s3dis": bench_config3(),
-                  "config4_kitti": bench_config4()}
+        stress = {
+            "config3_s3dis": dict(bench_config3(), source="measured live"),
+            "config4_kitti": dict(bench_config4(), source="measured live"),
+        }
     print(json.dumps({
         "metric": "config2_scenes_per_sec_2cm_eval",
         "value": c2["eval_sps"],
@@ -442,8 +470,11 @@ def main():
         "config2_eval_sps_b2": c2["eval_sps_b2"],
         "config2_train_sps": c2["train_sps"],
         "config2_mfu_eval": c2["mfu_eval"],
+        "config2_mfu_train": c2["mfu_train"],
         "config2_useful_mfu_eval": c2["useful_mfu_eval"],
         "config2_hlo_gflops_per_scene": c2["hlo_gflops_per_scene"],
+        "config2_train_hlo_gflops_per_scene":
+            c2["train_hlo_gflops_per_scene"],
         "config2_useful_gflops_per_scene": c2["useful_gflops_per_scene"],
         "config2_mean_voxels": c2["mean_voxels"],
         "config1_5cm_sps": c1["sps"],

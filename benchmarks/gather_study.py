@@ -150,6 +150,41 @@ def main():
         results[f"pencil_bf16_C{c}"] = report(
             f"pencil concat+1 gather bf16 C={c} (3C rows)", dt, N, 3 * c * 2)
 
+    # ---- windowed gather: one descriptor moves an (L, C) slice ------------
+    # The z-run/column-layout candidate (VERDICT r3 item 6): IF gather with
+    # slice_sizes=(L, C) costs ~one descriptor per window, a layout storing
+    # z-runs contiguously could amortize the per-row wall over the run
+    # length. The DATA kills the layout regardless (measured 2cm z-run
+    # length: mean 1.47, 80% singletons — benchmarks/zrun_stats.py), but the
+    # primitive rate is recorded so the closure note is airtight.
+    for L in (2, 4, 8):
+        nw = N // L
+        starts = jnp.asarray(
+            rng.integers(0, M - L, nw, dtype=np.int32))
+
+        def windowed(t, s0, _L=L, _nw=nw):
+            dn = lax.GatherDimensionNumbers(
+                offset_dims=(1, 2), collapsed_slice_dims=(),
+                start_index_map=(0,))
+
+            def step(carry, i):
+                shift = (carry.astype(jnp.int32) % 7) + i
+                s = jnp.clip((s0 + shift) % M, 0, M - _L)
+                g = lax.gather(t, s[:, None], dn,
+                               slice_sizes=(_L, t.shape[1]),
+                               mode="clip")          # [nw, L, C]
+                acc = jnp.sum(g.reshape(-1, t.shape[1])[:: 4096]
+                              .astype(jnp.float32))
+                return carry + acc, None
+
+            out, _ = lax.scan(step, jnp.float32(0.0), jnp.arange(ITERS))
+            return out
+
+        dt = time_one(windowed, table32, starts)
+        # report per USEFUL row moved (nw windows x L rows = N rows)
+        results[f"window{L}_bf16_C32"] = report(
+            f"windowed gather L={L} bf16 C=32", dt, N, 64)
+
     # ---- brick emulation: runs of consecutive rows ------------------------
     for run in (2, 4, 8):
         base = rng.integers(0, M - run, N // run, dtype=np.int32)

@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--stages", default="voxelize,hierarchy,eval")
     ap.add_argument("--dense", type=int, default=0,
                     help="dense_from_scale (0 = fully sparse)")
+    ap.add_argument("--dense-train", type=int, default=0,
+                    help="per-mode dense_from_scale_train (0 = same as "
+                         "--dense); the train stage then runs this form "
+                         "while eval converts (models/convert.py)")
     ap.add_argument("--shared-pencil-bwd", type=int, default=None,
                     help="0/1: override the auto-mode gate for the pencil "
                          "branch of the shared backward (A/B)")
@@ -80,9 +84,13 @@ def main():
     if args.dense:
         bb["dense_from_scale"] = args.dense
         bb["grid_extent"] = [int(e) for e in args.extent.split(",")]
+        if args.dense_train:
+            bb["dense_from_scale_train"] = args.dense_train
     vox_sizes = [float(v) for v in args.voxel.split(",")]
     if len(vox_sizes) == 1:
         vox_sizes = vox_sizes * 3
+    if len(vox_sizes) != 3:
+        ap.error(f"--voxel takes one float or x,y,z, got {args.voxel!r}")
     cfg = load_config(overrides={
         "data": {"num_points": args.points, "voxel_capacity": args.cap,
                   "batch_size": args.batch,

@@ -27,6 +27,9 @@ def main():
                          "mid-run-mAP weights train.py retains)")
     ap.add_argument("--per-class", action="store_true",
                     help="also report AP@t per class id (ScanNet-style table)")
+    ap.add_argument("--per-scene", action="store_true",
+                    help="also report the per-scene mAP@0.5 list and its "
+                         "mean/std/min/max (eval-subset sensitivity)")
     args = ap.parse_args()
 
     import jax
@@ -65,7 +68,8 @@ def main():
         yield from it
 
     res = run_eval(cfg, state, batches(), max_batches=args.max_batches,
-                   num_scenes=len(loader.dataset), per_class=args.per_class)
+                   num_scenes=len(loader.dataset), per_class=args.per_class,
+                   per_scene=args.per_scene)
     log.log("eval", **res)
     loader.close()
 

@@ -32,14 +32,32 @@ class DataConfig:
     elastic_distortion: bool = False
     num_workers: int = 2
     prefetch: int = 2
-    # synthetic-only: per-split scene-pool size (None = max(64, batch*8)).
+    # synthetic-only: TRAIN scene-pool size (None = max(64, batch*8)).
     # The 64-scene default overfits detection heads within ~2.5k steps
     # (BASELINE.md quality tables); quality runs should raise this.
+    # Train-only on purpose: growing the train pool must not silently move
+    # the val/test pools, or quality trajectories stop being comparable
+    # across runs (round-3 advisor finding). Scene IDENTITY is pool-size
+    # independent (scene i is a pure function of split seed and i), so
+    # val_scenes only bounds how many scenes an eval pass can see.
     num_scenes: Optional[int] = None
+    # synthetic-only: VAL/TEST scene-pool size (None = max(64, batch*8)).
+    # Quality configs pin this to the eval-protocol size (e.g. 32) so the
+    # in-training and final evals score the identical scene set.
+    val_scenes: Optional[int] = None
     # voxelize in host workers via the C++ core (overlapped with device
     # compute, BASELINE config 5); falls back to device voxelize if the
     # native library is unavailable
     host_voxelize: bool = False
+    # Expected maximum scene size in METERS per axis (dataset property —
+    # e.g. ScanNet rooms ≤ ~10 x 10 x 3.2 m). Two uses (round-3 verdict:
+    # extent must be sized per dataset, not hand-copied):
+    #  * backbone.grid_extent omitted → it is DERIVED from these bounds
+    #    (see derive_grid_extent: voxel count + augmentation margin,
+    #    rounded to the scale divisibility constraint)
+    #  * backbone.grid_extent set → validated to cover these bounds at
+    #    load time (fail fast instead of silently cropping every scene)
+    scene_bounds: Optional[Tuple[float, float, float]] = None
 
 
 @dataclass(frozen=True)
@@ -75,6 +93,15 @@ class BackboneConfig:
     # stride-1 voxel-grid bounds [0, E) per axis for the dense tail; sites
     # outside are dropped from the dense grid (deterministic drop policy)
     grid_extent: Optional[Tuple[int, int, int]] = None
+    # Per-MODE tail boundary: the TRAIN step runs with this dense_from_scale
+    # while eval/inference keep `dense_from_scale` (None = same). The tail
+    # boundary is an execution-strategy knob, not architecture — weights
+    # convert exactly between forms (models/convert.py) — and the fastest
+    # boundary differs by direction: on the 2cm shape dense-3 trains 11%
+    # faster (the scale-2 dense block's f32 backward transients cost more
+    # than the sparse path) while dense-2 evals 3.5% faster (BASELINE.md).
+    # Checkpoints store the TRAIN form; the eval step converts on the fly.
+    dense_from_scale_train: Optional[int] = None
 
 
 @dataclass(frozen=True)
@@ -134,6 +161,13 @@ class TrainConfig:
     seed: int = 0
     log_every: int = 10
     eval_every: int = 500
+    # Scenes per in-training eval (None = the whole val split). The
+    # CANONICAL quality protocol evaluates the same fixed held-out set at
+    # every eval point AND in the final eval.py pass — quality configs set
+    # eval_scenes == val_scenes so no in-training number is ever quoted
+    # from a different scene subset than the final one (round-3 verdict:
+    # a 16- vs 32-scene split produced an 11-point mAP@0.5 gap).
+    eval_scenes: Optional[int] = 16
     checkpoint_every: int = 500
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 3
@@ -187,6 +221,32 @@ def _update(dc, overrides: dict):
     return dataclasses.replace(dc, **kwargs)
 
 
+# Augmentation headroom multipliers for extent derivation: in-plane z-axis
+# rotation can swing a scene's rebased xy bounding box up to sqrt(2)x for a
+# square room (the measured dense_tail_oob counters show only corner
+# clipping at ~1.28x, so 1.3 covers practice), scale augmentation adds up
+# to 1.1x; rotation never grows z, so z only carries the scale margin.
+_EXTENT_MARGIN = (1.3, 1.3, 1.1)
+_REBASE_CELLS = 4  # rebase_coords margin (integer cells at stride 1)
+
+
+def derive_grid_extent(cfg: Config) -> Tuple[int, int, int]:
+    """Smallest valid dense-tail grid extent covering data.scene_bounds.
+
+    cells = ceil(bounds / voxel * margin) + rebase margin, rounded UP to
+    the 2^(num_scales-1) divisibility the tail's down/up convs require.
+    """
+    bounds = cfg.data.scene_bounds
+    if bounds is None:
+        raise ValueError("derive_grid_extent needs data.scene_bounds")
+    down = 1 << (len(cfg.model.backbone.widths) - 1)
+    out = []
+    for b, v, m in zip(bounds, cfg.data.voxel_size, _EXTENT_MARGIN):
+        cells = int(-(-b * m // v)) + _REBASE_CELLS
+        out.append(-(-cells // down) * down)
+    return tuple(out)
+
+
 def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) -> Config:
     """Build a Config from defaults + optional YAML file + optional dict."""
     cfg = Config()
@@ -197,6 +257,15 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) ->
             cfg = _update(cfg, yaml.safe_load(f) or {})
     if overrides:
         cfg = _update(cfg, overrides)
+    bb = cfg.model.backbone
+    if (bb.grid_extent is None and cfg.data.scene_bounds is not None
+            and (bb.dense_from_scale is not None
+                 or bb.dense_from_scale_train is not None)):
+        # per-dataset extent sizing: derive from the data bounds instead of
+        # hand-copying a grid size between configs
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, backbone=dataclasses.replace(
+                bb, grid_extent=derive_grid_extent(cfg))))
     _validate(cfg)
     return cfg
 
@@ -221,18 +290,44 @@ def _validate(cfg: Config) -> None:
     if not 0.0 <= cfg.model.backbone.dropout < 1.0:
         raise ValueError("backbone.dropout must be in [0, 1)")
     dfs = cfg.model.backbone.dense_from_scale
-    if dfs is not None:
+    dfs_t = cfg.model.backbone.dense_from_scale_train
+    for label, v in (("dense_from_scale", dfs),
+                     ("dense_from_scale_train", dfs_t)):
+        if v is None:
+            continue
         ns = len(cfg.model.backbone.widths)
-        if not 1 <= dfs <= ns - 1:
-            raise ValueError(f"dense_from_scale {dfs} must be in [1, {ns - 1}]")
+        if not 1 <= v <= ns - 1:
+            raise ValueError(f"{label} {v} must be in [1, {ns - 1}]")
         ext = cfg.model.backbone.grid_extent
         if ext is None:
-            raise ValueError("backbone.dense_from_scale requires backbone.grid_extent")
+            raise ValueError(f"backbone.{label} requires backbone.grid_extent")
         down = 1 << (ns - 1)
         if any(e % down for e in ext):
             raise ValueError(
                 f"grid_extent {ext} must be divisible by 2^(num_scales-1)={down}"
             )
+    ext = cfg.model.backbone.grid_extent
+    if (ext is not None and cfg.data.scene_bounds is not None
+            and (dfs is not None or dfs_t is not None)):
+        # explicit extent must cover the declared dataset bounds (fail at
+        # load, not by silently cropping every scene on device)
+        for i, (e, b, v) in enumerate(
+                zip(ext, cfg.data.scene_bounds, cfg.data.voxel_size)):
+            if e * v < b:
+                raise ValueError(
+                    f"grid_extent[{i}]={e} covers {e * v:.2f} m at voxel "
+                    f"{v} but data.scene_bounds[{i}]={b} m — undersized "
+                    "dense-tail grid (every scene would be cropped)")
+    if dfs_t is not None and dfs_t != dfs:
+        if dfs is None:
+            raise ValueError(
+                "dense_from_scale_train requires dense_from_scale (the eval "
+                "form) to be set too")
+        if cfg.model.backbone.downsample != "conv":
+            raise ValueError(
+                "dense_from_scale_train != dense_from_scale requires "
+                "backbone.downsample='conv': pooling downsamples have no "
+                "spatial kernels to convert across the tail boundary")
     for s in cfg.model.rpn.rpn_scales or ():
         if s >= len(cfg.model.backbone.widths):
             raise ValueError(f"rpn_scales entry {s} out of range")
@@ -240,11 +335,20 @@ def _validate(cfg: Config) -> None:
         # pool_instance_labels consumes scales[s].down_idx for every scale
         # below the topmost RPN scale; dense-tail scales carry no rulebooks,
         # so an RPN scale above dense_from_scale would crash at trace time.
+        # With a per-mode boundary BOTH forms must satisfy it (each step
+        # builds its own hierarchy), so the minimum binds.
+        bound = dfs if dfs_t is None else min(dfs, dfs_t)
         top_rpn = max(cfg.model.rpn.rpn_scales or (cfg.model.rpn.rpn_scale,))
-        if top_rpn > dfs:
+        if top_rpn > bound:
             raise ValueError(
                 f"max RPN scale ({top_rpn}) must be <= dense_from_scale "
-                f"({dfs}): scales past the dense tail have no down rulebooks"
+                f"({bound}): scales past the dense tail have no down rulebooks"
             )
     if not 0.0 <= cfg.train.ema < 1.0:
         raise ValueError(f"train.ema ({cfg.train.ema}) must be in [0, 1)")
+    for name, v in (("data.num_scenes", cfg.data.num_scenes),
+                    ("data.val_scenes", cfg.data.val_scenes),
+                    ("train.eval_scenes", cfg.train.eval_scenes)):
+        # explicit 0 must error, not silently fall back to the default
+        if v is not None and v < 1:
+            raise ValueError(f"{name} must be >= 1 when set, got {v}")

@@ -246,10 +246,14 @@ def build_dataset(cfg, split: str):
     """Factory from DataConfig.dataset."""
     d = cfg.data
     if d.dataset in ("synthetic", "synthetic_hard"):
-        # disjoint scene pools per split (seed offset), like real splits
+        # disjoint scene pools per split (seed offset), like real splits;
+        # num_scenes sizes the TRAIN pool only, val_scenes the val/test
+        # pools (explicit `is not None` — a configured 0 is rejected at
+        # load time rather than silently falling back to the default)
         split_seed = {"train": 0, "val": 1, "test": 2}.get(split, 3)
+        pool = d.num_scenes if split == "train" else d.val_scenes
         return SyntheticDataset(
-            num_scenes=d.num_scenes or max(64, d.batch_size * 8),
+            num_scenes=pool if pool is not None else max(64, d.batch_size * 8),
             num_points=d.num_points,
             num_classes=cfg.model.num_classes, num_features=d.num_features,
             seed=split_seed,

@@ -221,6 +221,16 @@ class SparseUNet(nn.Module):
         ns = len(self.widths)
         assert len(scales) == ns, (len(scales), ns)
         n_sparse = self.dense_from_scale if self.dense_from_scale else ns
+        # validate profile_cut BEFORE tracing the forward: a bad cut must
+        # fail fast, not trip a bare assert after the whole sparse forward
+        # has been traced (round-3 advisor finding)
+        if profile_cut is not None:
+            if profile_cut not in ("encoder", "dense_tail"):
+                raise ValueError(f"unknown profile_cut {profile_cut!r} "
+                                 "(expected 'encoder' or 'dense_tail')")
+            if profile_cut == "dense_tail" and n_sparse >= ns:
+                raise ValueError("profile_cut='dense_tail' on a fully-"
+                                 "sparse backbone (dense_from_scale unset)")
         block_cls = (
             nn.remat(SparseBasicBlock, static_argnums=(4,))
             if self.remat else SparseBasicBlock
@@ -288,7 +298,6 @@ class SparseUNet(nn.Module):
         else:
             outputs[ns - 1] = x
         if profile_cut == "dense_tail":
-            assert n_sparse < ns, "no dense tail configured"
             return outputs[n_sparse:]
 
         # sparse decoder: transitions s+1 → s for every sparse scale (the

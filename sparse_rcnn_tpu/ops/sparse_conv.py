@@ -410,12 +410,14 @@ def _pick(feats, idx, weights):
 # be nonzero (post-BN) but only ever pair with those zero G_k rows.
 # ---------------------------------------------------------------------------
 
-# Auto-mode gate for the pencil executor INSIDE the shared backward. The
-# round-3 two-sweep pencil backward OOM'd the fused 2cm train step (18.6 G
-# needed vs 15.75 G HBM); the shared form has roughly half those transients
-# (one pencil table set over g instead of sets over g AND feats). Off until
-# the 2cm train step is re-measured with it on the chip; flip via
-# set_shared_pencil_bwd for the A/B.
+# Auto-mode gate for the pencil executor INSIDE the shared backward.
+# DECIDED by the round-3 on-chip A/B (_chiplogs/spb0/spb1, 2026-08-18):
+# 2cm train step 1574 ms/scene (off) vs 1565 ms (on) — a wash, within run
+# noise — so the default stays OFF for lower peak HBM (the pencil branch
+# builds flat [M,3C] tables; the shared form no longer OOMs like the old
+# two-sweep variant at 18.6 G vs 15.75 G HBM, but same-speed means the
+# transients buy nothing). Do NOT re-run this experiment; flip via
+# set_shared_pencil_bwd only if the backward's gather mix changes.
 _SHARED_PENCIL_BWD = False
 
 

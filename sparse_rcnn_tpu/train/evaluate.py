@@ -62,6 +62,7 @@ def run_eval(
     eval_step=None,
     num_scenes: Optional[int] = None,
     per_class: bool = False,
+    per_scene: bool = False,
 ) -> Dict[str, float]:
     """Score ``loader``'s batches. ``num_scenes`` (the eval split size) makes
     the wrap-padded tail of the last batch score each scene exactly once:
@@ -107,6 +108,17 @@ def run_eval(
                 )
             seen += 1
     res = ev.compute(per_class=per_class)
+    if per_scene:
+        # scene-level mAP@0.5 spread: the error bar on the split number
+        # (diagnoses eval-subset sensitivity — VERDICT r3 item 1)
+        ps = np.asarray(ev.per_scene_map(0.5), np.float64)
+        finite = ps[np.isfinite(ps)]
+        if finite.size:
+            res["scene_map50_mean"] = float(finite.mean())
+            res["scene_map50_std"] = float(finite.std())
+            res["scene_map50_min"] = float(finite.min())
+            res["scene_map50_max"] = float(finite.max())
+        res["per_scene_mAP@0.5"] = [round(float(x), 4) for x in ps]
     if "point_semantic_pred" in out:
         sem = sem_ev.compute()
         res["semantic_mIoU"] = sem["mIoU"]

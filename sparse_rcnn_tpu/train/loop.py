@@ -41,6 +41,22 @@ class TrainState:
     ema_params: Any = None
 
 
+def train_cfg(cfg: Config) -> Config:
+    """The config the TRAIN step runs with: the per-mode tail boundary
+    ``backbone.dense_from_scale_train`` (when set) replaces the eval-form
+    ``dense_from_scale``. Params/checkpoints live in this TRAIN form —
+    :func:`eval_step` converts to the eval form on the fly
+    (models/convert.py; exact reparametrization). Idempotent."""
+    import dataclasses
+
+    bb = cfg.model.backbone
+    t = bb.dense_from_scale_train
+    if t is None or t == bb.dense_from_scale:
+        return cfg
+    return dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, backbone=dataclasses.replace(bb, dense_from_scale=t)))
+
+
 def make_schedule(cfg: Config):
     # config step counts are MICRO-steps; the schedule is consumed once per
     # optimizer update, i.e. every grad_accum_steps micro-steps
@@ -211,6 +227,7 @@ def compute_losses(cfg: Config, out, scales, gt, row_mask):
 
 
 def init_state(cfg: Config, sample_batch: Dict[str, jax.Array]) -> TrainState:
+    cfg = train_cfg(cfg)  # state/checkpoints live in the TRAIN form
     model = build_model(cfg)
     # One jitted program instead of eager op-at-a-time execution: eager
     # init at the 2cm shape was ~20 min of serial tiny compiles through
@@ -242,6 +259,7 @@ def train_step(
 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
     """One optimization step. Wrap in jax.jit(static_argnums=0) or use
     :func:`make_train_step`."""
+    cfg = train_cfg(cfg)
     model = build_model(cfg)
     st, _, scales, gt, aux = prepare_inputs(cfg, batch)
     # per-step dropout rng only when the backbone asks for it (keeps the
@@ -309,8 +327,18 @@ def eval_step(cfg: Config, state: TrainState, batch: Dict[str, jax.Array]):
     st, p2v, scales, gt, _ = prepare_inputs(cfg, batch)
     # evaluate the EMA weights when configured (cfg is trace-static)
     params = state.ema_params if cfg.train.ema > 0 else state.params
+    stats = state.batch_stats
+    bb = cfg.model.backbone
+    if (bb.dense_from_scale_train is not None
+            and bb.dense_from_scale_train != bb.dense_from_scale):
+        # state lives in the TRAIN tail form — reparametrize to the eval
+        # form inside the jitted step (reshapes/flips only; exact)
+        from ..models.convert import convert_variables
+
+        params = convert_variables(dict(params), bb.dense_from_scale)
+        stats = convert_variables(dict(stats), bb.dense_from_scale)
     out = model.apply(
-        {"params": params, "batch_stats": state.batch_stats},
+        {"params": params, "batch_stats": stats},
         st.feats, scales, train=False,
     )
     vox_logits, _ = paint_instance_masks(out, scales)

@@ -183,6 +183,20 @@ class InstanceAPEvaluator:
         aps = self.class_aps(iou_t)
         return float(np.mean(list(aps.values()))) if aps else 0.0
 
+    def per_scene_map(self, iou_t: float) -> List[float]:
+        """mAP@iou_t of each accumulated scene scored ALONE (AP over the
+        classes with GT in that scene). The spread across scenes is the
+        error bar on the split-level number — a protocol whose mAP moves
+        by points when the eval subset changes shows up here as a large
+        scene-to-scene std, not as a mystery (round-3 verdict item 1)."""
+        out = []
+        for scene in self._preds:
+            matches, counts = self._match_scene(scene, iou_t)
+            aps = [self._average_precision(matches[c], counts[c])
+                   for c in range(self.num_classes) if counts[c] > 0]
+            out.append(float(np.mean(aps)) if aps else float("nan"))
+        return out
+
     def compute(self, per_class: bool = False) -> Dict[str, float]:
         results = {f"mAP@{t:g}": self._map_at(t) for t in self.iou_thresholds}
         if self.average_band:

@@ -42,58 +42,13 @@ def _inputs(batch_size=2):
     return st, scales_full
 
 
-def _flip3(w):  # [27,Cin,Cout] -> [3,3,3,Cin,Cout] correlation kernel
-    return jnp.asarray(w).reshape(3, 3, 3, *w.shape[1:])[::-1, ::-1, ::-1]
-
-
-def _k2(w):     # [8,Cin,Cout] -> [2,2,2,Cin,Cout] (down conv: no flip)
-    return jnp.asarray(w).reshape(2, 2, 2, *w.shape[1:])
-
-
-def _k2t(w):    # [8,Cin,Cout] -> ConvTranspose kernel (flip)
-    return jnp.asarray(w).reshape(2, 2, 2, *w.shape[1:])[::-1, ::-1, ::-1]
+# the converter is library code (models/convert.py — it powers the
+# per-mode dense_from_scale_train knob); this file is its parity oracle
+from sparse_rcnn_tpu.models.convert import convert_backbone  # noqa: E402
 
 
 def _convert(sparse_params, s0, ns, blocks):
-    """Sparse backbone tree -> dense-tail tree: every (enc|dec|down|up){s}
-    entry with s >= s0 moves under dense_tail/, conv kernels converted.
-    Works on both the params tree and the batch_stats tree (which has no
-    conv entries)."""
-    def scale_of(name):
-        for p in ("enc", "dec", "up", "down"):
-            if name.startswith(p) and name[len(p)].isdigit():
-                return int(name[len(p)])
-        return None
-
-    dst, tail = {}, {}
-    for name, v in sparse_params.items():
-        s = scale_of(name)
-        if s is None or s < s0:
-            dst[name] = v
-            continue
-        if name.endswith("_bn"):
-            tail[name] = v
-        elif name.endswith("down" + str(s) + "_conv") or name == f"down{s}_conv":
-            tail[name] = {"kernel": _k2(v["kernel"])}
-        elif name == f"up{s}_conv":
-            tail[name] = {"kernel": _k2t(v["kernel"])}
-        else:  # enc/dec block
-            new = {}
-            for sub, sv in v.items():
-                if sub.startswith("conv") or sub == "proj":
-                    if "conv" in sv:        # params tree (SubMConv3d wrapper)
-                        w = sv["conv"]["kernel"]
-                        new[sub] = {"kernel": (
-                            _flip3(w) if w.shape[0] == 27
-                            else jnp.asarray(w).reshape(1, 1, 1, *w.shape[1:])
-                        )}
-                    else:                    # stats tree: nothing to convert
-                        new[sub] = sv
-                else:
-                    new[sub] = sv
-            tail[name] = new
-    dst["dense_tail"] = tail
-    return dst
+    return convert_backbone(dict(sparse_params), s0)
 
 
 def test_dense_tail_equivalence():

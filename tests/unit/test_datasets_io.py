@@ -184,5 +184,30 @@ def test_synthetic_num_scenes_knob():
     cfg = load_config(overrides={"data": {"dataset": "synthetic_hard",
                                           "num_scenes": 17}})
     assert len(build_dataset(cfg, "train")) == 17
+    # TRAIN-only: growing the train pool must not move the val/test pools
+    # (quality-trajectory comparability — round-3 advisor finding)
+    assert len(build_dataset(cfg, "val")) == 64
     cfg = load_config(overrides={"data": {"dataset": "synthetic_hard"}})
     assert len(build_dataset(cfg, "train")) == 64
+    # val_scenes pins the val/test pools independently
+    cfg = load_config(overrides={"data": {"dataset": "synthetic_hard",
+                                          "num_scenes": 256,
+                                          "val_scenes": 32}})
+    assert len(build_dataset(cfg, "train")) == 256
+    assert len(build_dataset(cfg, "val")) == 32
+    assert len(build_dataset(cfg, "test")) == 32
+    # scene IDENTITY is pool-size independent: scene i is a pure function
+    # of (split, i), so shrinking val_scenes keeps the same leading scenes
+    small = build_dataset(cfg, "val")
+    big = build_dataset(load_config(overrides={
+        "data": {"dataset": "synthetic_hard"}}), "val")
+    np.testing.assert_array_equal(small[3]["points"], big[3]["points"])
+    # an explicit 0 must error at load time, not silently use the default
+    import pytest
+
+    for key in ("num_scenes", "val_scenes"):
+        with pytest.raises(ValueError):
+            load_config(overrides={"data": {"dataset": "synthetic",
+                                            key: 0}})
+    with pytest.raises(ValueError):
+        load_config(overrides={"train": {"eval_scenes": 0}})

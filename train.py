@@ -91,10 +91,27 @@ def main():
                         **{k: float(v) for k, v in metrics.items()})
             if step % cfg.train.eval_every == 0:
                 eval_loader = Loader(cfg, "val", train=False, sharding=bshard)
-                res = run_eval(cfg, state, iter(eval_loader), max_batches=8,
-                               num_scenes=len(eval_loader.dataset))
+                n_val = len(eval_loader.dataset)
+                # canonical protocol: the SAME leading val scenes at every
+                # eval point; quality configs set eval_scenes == val_scenes
+                # so this is the identical set eval.py scores at the end
+                n_eval = min(cfg.train.eval_scenes or n_val, n_val)
+                mb = -(-n_eval // cfg.data.batch_size)  # ceil
+                res = run_eval(cfg, state, iter(eval_loader), max_batches=mb,
+                               num_scenes=min(n_eval, n_val))
                 eval_loader.close()
                 log.log("eval", step=step, **res)
+                if cfg.train.ema > 0 and state.ema_params is not None:
+                    # raw-weight control at the same eval point (eval_step
+                    # reads ema_params when train.ema > 0 — alias them)
+                    raw_loader = Loader(cfg, "val", train=False,
+                                        sharding=bshard)
+                    raw_res = run_eval(
+                        cfg, state.replace(ema_params=state.params),
+                        iter(raw_loader), max_batches=mb,
+                        num_scenes=min(n_eval, n_val))
+                    raw_loader.close()
+                    log.log("eval_raw", step=step, **raw_res)
                 # retain the best-mAP@0.5 weights in a sibling manager so
                 # the rotating keep=N window can't drop them before the
                 # final post-hoc eval (`eval.py --best`)
