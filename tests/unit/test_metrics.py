@@ -172,3 +172,28 @@ def test_per_class_ap_table():
         (res["AP@0.5/class0"] + res["AP@0.5/class1"]) / 2)
     # default stays table-free
     assert all(not k.startswith("AP@") for k in ev.compute())
+
+
+def test_per_scene_map_spread():
+    """per_scene_map scores each scene ALONE: a perfect scene and an
+    all-wrong scene give [1.0, 0.0] even though the pooled split-level
+    number sits in between (the spread is the protocol error bar)."""
+    ev = InstanceAPEvaluator(num_classes=3)
+    gt_instance, gt_classes = toy_scene()
+    n = len(gt_instance)
+    perfect = np.stack([gt_instance == 0, gt_instance == 1])
+    ev.add_scene(perfect, np.array([0.9, 0.8]), np.array([0, 1]),
+                 np.array([True, True]), gt_instance, gt_classes,
+                 np.ones(n, bool))
+    # scene 2: both predictions miss every GT voxel
+    wrong = np.zeros((2, n), bool)
+    wrong[:, 80:90] = True
+    ev.add_scene(wrong, np.array([0.9, 0.8]), np.array([0, 1]),
+                 np.array([True, True]), gt_instance, gt_classes,
+                 np.ones(n, bool))
+    per = ev.per_scene_map(0.5)
+    assert per == [1.0, 0.0]
+    # pooled number is NOT the mean of per-scene (ranking pools across
+    # scenes) but must fall strictly between the extremes here
+    pooled = ev.compute()["mAP@0.5"]
+    assert 0.0 < pooled < 1.0
