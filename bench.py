@@ -111,12 +111,14 @@ def _config2(batch_size: int = 1):
         "model": {
             "backbone": {"widths": [32, 64, 96, 128, 160],
                           "blocks_per_scale": 2, "dtype": "bfloat16",
-                          # per-mode tail boundary, as shipped in
+                          # per-mode tail boundary + z-crop, as shipped in
                           # configs/config2_scannet_2cm.yaml: eval dense-2,
-                          # train dense-3 (measured -11% train, BASELINE.md)
+                          # train dense-3 (measured -11% train) on a
+                          # [512,512,160] grid (z=3.2 m room ceiling; the
+                          # round-4 z-crop A/B — BASELINE.md)
                           "dense_from_scale": 2,
                           "dense_from_scale_train": 3,
-                          "grid_extent": [512, 512, 256]},
+                          "grid_extent": [512, 512, 160]},
             "rpn": {"hidden": 128, "num_proposals": 128,
                      "pre_nms_topk": 512, "rpn_scales": [0, 1]},
             "roi": {"grid_size": 7, "hidden": 128, "mask_grid": 14},
