@@ -311,9 +311,9 @@ def bench_config3():
 
 
 def bench_config4():
-    _progress("config4 KITTI anisotropic")
     """SemanticKITTI stress shape (BASELINE config 4): anisotropic voxels
     over a long-range sweep (~100x100x6 m at [0.1, 0.1, 0.15] m)."""
+    _progress("config4 KITTI anisotropic")
     import jax
     import jax.numpy as jnp
     import numpy as np
