@@ -72,7 +72,10 @@ class BackboneConfig:
     # default per-scale capacity decay: surface-like scenes lose only
     # ~1.4-2x sites per 2x downsample (not 8x), so halving overflows
     capacity_factor: float = 0.75
-    # voxel capacity per scale; scale s defaults to voxel_capacity >> s
+    # explicit voxel capacity per scale (len == len(widths)); None = the
+    # capacity_factor decay above. Gather/sort cost scales with CAP, not
+    # nvalid — size these to measured per-scale occupancy when throughput
+    # matters (see BASELINE.md round-4 capacity sizing).
     capacities: Optional[Tuple[int, ...]] = None
     # Downsample operator between sparse scales (SURVEY.md C6 variants):
     # "conv" = k2s2 strided sparse conv (default); "maxpool"/"avgpool" =
