@@ -54,6 +54,11 @@ def main():
                     help="submanifold rulebook second-half construction "
                          "(scatter-transpose vs direct bulk lookup) A/B")
     ap.add_argument("--extent", default="512,512,256")
+    ap.add_argument("--capacities", default=None,
+                    help="comma-separated explicit per-scale row capacities "
+                         "(overrides the capacity_factor decay) — A/B knob "
+                         "for sizing caps to measured per-scale occupancy; "
+                         "gather/sort cost scales with CAP, not nvalid")
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -86,6 +91,11 @@ def main():
         bb["grid_extent"] = [int(e) for e in args.extent.split(",")]
         if args.dense_train:
             bb["dense_from_scale_train"] = args.dense_train
+    if args.capacities:
+        caps = [int(c) for c in args.capacities.split(",")]
+        if len(caps) != len(widths):
+            ap.error(f"--capacities needs {len(widths)} values, got {caps}")
+        bb["capacities"] = caps
     vox_sizes = [float(v) for v in args.voxel.split(",")]
     if len(vox_sizes) == 1:
         vox_sizes = vox_sizes * 3
