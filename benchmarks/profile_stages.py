@@ -91,6 +91,11 @@ def main():
         bb["grid_extent"] = [int(e) for e in args.extent.split(",")]
         if args.dense_train:
             bb["dense_from_scale_train"] = args.dense_train
+    elif args.dense_train:
+        # fail fast: without --dense the knob would be dropped on the floor
+        # and the printed numbers attributed to a form that never ran
+        ap.error("--dense-train requires --dense (config validation would "
+                 "reject a train-only dense tail)")
     if args.capacities:
         caps = [int(c) for c in args.capacities.split(",")]
         if len(caps) != len(widths):
@@ -208,11 +213,15 @@ def main():
         # time go"): fwd_loss = prepare_inputs + forward + losses (no
         # grad); grad = value_and_grad of the same. So
         # backward = grad - fwd_loss and optimizer/EMA = train_step - grad.
-        model = TL.build_model(cfg)
+        # init_state returns TRAIN-form params (train_cfg applies the
+        # per-mode dense_from_scale_train boundary), so the loss/grad
+        # attribution must build/apply the TRAIN-form model too
+        tcfg = TL.train_cfg(cfg)
+        model = TL.build_model(tcfg)
         gstate = TL.init_state(cfg, batch)
 
         def loss_of(params, b):
-            st2, _, scales2, gt2, _aux = TL.prepare_inputs(cfg, b)
+            st2, _, scales2, gt2, _aux = TL.prepare_inputs(tcfg, b)
             out, updates = model.apply(
                 {"params": params, "batch_stats": gstate.batch_stats},
                 st2.feats, scales2, train=True,
@@ -220,7 +229,7 @@ def main():
                 mutable=["batch_stats"],
             )
             total, _parts = TL.compute_losses(
-                cfg, out, scales2, gt2, st2.row_mask)
+                tcfg, out, scales2, gt2, st2.row_mask)
             return total
 
         if "loss" in want:

@@ -99,7 +99,14 @@ def main():
     vovf_total = hovf_total = 0
     seen = 0
     while seen < args.scenes:
-        nvalid, span, vovf, hovf = jax.device_get(probe_j(next(it)))
+        batch = next(it, None)
+        if batch is None:
+            # eval-mode loaders make one finite ordered pass; cap at the
+            # pool instead of crashing when --scenes exceeds it
+            print(f"# pool exhausted after {seen} scenes "
+                  f"(asked for {args.scenes})", file=sys.stderr)
+            break
+        nvalid, span, vovf, hovf = jax.device_get(probe_j(batch))
         take = min(cfg.data.batch_size, args.scenes - seen)
         max_sites = np.maximum(max_sites, nvalid[:take].max(axis=0))
         max_span = np.maximum(max_span, span[:take].max(axis=0))

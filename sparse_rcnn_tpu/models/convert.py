@@ -127,7 +127,7 @@ def to_dense(tree: Dict[str, Any], s0: int) -> Dict[str, Any]:
             tail[name] = {"kernel": _to_dense_kernel(v["kernel"], flip=True)}
         elif name == f"down{s}_proj":
             raise ValueError(
-                "pooling downsample (down{s}_proj) has no spatial kernel — "
+                f"pooling downsample (down{s}_proj) has no spatial kernel — "
                 "scales crossing the dense-tail boundary must use "
                 "backbone.downsample='conv' to be convertible")
         else:

@@ -118,7 +118,10 @@ def run_eval(
             res["scene_map50_std"] = float(finite.std())
             res["scene_map50_min"] = float(finite.min())
             res["scene_map50_max"] = float(finite.max())
-        res["per_scene_mAP@0.5"] = [round(float(x), 4) for x in ps]
+        # None for scenes with no scoreable GT (NaN would render as bare
+        # `NaN` in the jsonl line — invalid strict JSON)
+        res["per_scene_mAP@0.5"] = [
+            round(float(x), 4) if np.isfinite(x) else None for x in ps]
     if "point_semantic_pred" in out:
         sem = sem_ev.compute()
         res["semantic_mIoU"] = sem["mIoU"]

@@ -73,6 +73,11 @@ def main():
             log.log("resume", step=int(state.step))
 
     step_fn = make_parallel_train_step(cfg, mesh)
+    # one jitted eval step reused at every eval point (EMA and raw-control
+    # passes): a fresh make_eval_step per call would re-trace the whole
+    # detector each time — the persistent compile cache skips XLA but not
+    # Python/jaxpr tracing
+    eval_fn = TL.make_eval_step(cfg)
     timer = StepTimer(cfg.data.batch_size)
     best_mgr = CK.make_manager(CK.best_dir(cfg.train.checkpoint_dir), keep=1)
     # seeded from the sidecar so --resume can't let a worse post-resume
@@ -98,6 +103,7 @@ def main():
                 n_eval = min(cfg.train.eval_scenes or n_val, n_val)
                 mb = -(-n_eval // cfg.data.batch_size)  # ceil
                 res = run_eval(cfg, state, iter(eval_loader), max_batches=mb,
+                               eval_step=eval_fn,
                                num_scenes=min(n_eval, n_val))
                 eval_loader.close()
                 log.log("eval", step=step, **res)
@@ -108,7 +114,7 @@ def main():
                                         sharding=bshard)
                     raw_res = run_eval(
                         cfg, state.replace(ema_params=state.params),
-                        iter(raw_loader), max_batches=mb,
+                        iter(raw_loader), max_batches=mb, eval_step=eval_fn,
                         num_scenes=min(n_eval, n_val))
                     raw_loader.close()
                     log.log("eval_raw", step=step, **raw_res)
