@@ -58,6 +58,15 @@ class DataConfig:
     #  * backbone.grid_extent set → validated to cover these bounds at
     #    load time (fail fast instead of silently cropping every scene)
     scene_bounds: Optional[Tuple[float, float, float]] = None
+    # Scene-centered crop of augmented TRAIN scenes to scene_bounds
+    # (reference-family point_cloud_range): full z-rotation grows xy spans
+    # by up to sqrt(2), past what grid_extent/_EXTENT_MARGIN cover — the
+    # overhang otherwise falls out of the dense tail cell-wise (counted,
+    # dense_tail_oob). Cropping whole points pre-voxelize keeps every
+    # scale/mode consistent and shrinks GT with the geometry (data/gt.py).
+    # Off by default: flipping it changes the train distribution, so
+    # quality protocols must opt in explicitly (see BASELINE.md round-4).
+    crop_to_bounds: bool = False
 
 
 @dataclass(frozen=True)
@@ -321,6 +330,27 @@ def _validate(cfg: Config) -> None:
                     f"grid_extent[{i}]={e} covers {e * v:.2f} m at voxel "
                     f"{v} but data.scene_bounds[{i}]={b} m — undersized "
                     "dense-tail grid (every scene would be cropped)")
+        if (cfg.data.augment and cfg.data.rotate_z
+                and not cfg.data.crop_to_bounds):
+            # rotation grows xy spans by up to (|cos|+|sin|) = sqrt(2), and
+            # scale_range by its upper bound — an extent sized to the raw
+            # bounds then drops the overhang cell-wise at the dense scales
+            # during train (counted in dense_tail_oob)
+            import warnings
+
+            s_hi = max(cfg.data.scale_range)
+            for i in (0, 1):
+                need = cfg.data.scene_bounds[i] * (2.0 ** 0.5) * s_hi
+                e, v = ext[i], cfg.data.voxel_size[i]
+                if e * v < need:
+                    warnings.warn(
+                        f"grid_extent[{i}]={e} covers {e * v:.2f} m but "
+                        f"z-rotated (+scaled) train scenes can span "
+                        f"{need:.2f} m — overhang cells are dropped from "
+                        "the dense tail (dense_tail_oob). Set "
+                        "data.crop_to_bounds: true or grow grid_extent.",
+                        stacklevel=2)
+                    break
     if dfs_t is not None and dfs_t != dfs:
         if dfs is None:
             raise ValueError(

@@ -56,4 +56,25 @@ def augment_scene(scene: dict, cfg: DataConfig, rng: np.random.Generator) -> dic
     out = dict(scene)
     out["points"] = pts.astype(np.float32)
     out["feats"] = feats.astype(np.float32)
+    if cfg.crop_to_bounds and cfg.scene_bounds is not None:
+        # Scene-centered crop to the declared bounds (reference-family
+        # point_cloud_range semantics): a full z-rotation can grow a scene's
+        # xy span by up to sqrt(2) (and scale_range by its upper bound), so
+        # without the crop the dense-tail grid drops the overhang cell-wise
+        # (counted in dense_tail_oob — up to ~40% of scale-2/3 sites in
+        # worst-rotation steps, _chiplogs/size_c2.json round 4). Cropping
+        # whole POINTS pre-voxelize is consistent across every scale and
+        # mode, and GT shrinks with it (boxes are segment min/max of the
+        # surviving points — data/gt.py), so clipped instances score
+        # honestly. Padded rows stay masked via "valid"; shapes unchanged.
+        valid = out["valid"].astype(bool)
+        live = np.where(valid)[0]
+        if live.size:
+            p = out["points"][live]
+            center = (p.min(0) + p.max(0)) / 2
+            half = np.asarray(cfg.scene_bounds, np.float32) / 2
+            inb = np.all(np.abs(p - center) <= half, axis=1)
+            keep = valid.copy()
+            keep[live] = inb
+            out["valid"] = keep.astype(out["valid"].dtype)
     return out

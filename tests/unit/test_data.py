@@ -31,6 +31,40 @@ def test_augment_preserves_labels(rng):
     assert a["points"].dtype == np.float32
 
 
+def test_augment_crop_to_bounds(rng):
+    # crop_to_bounds: rotated scenes get a scene-centered crop back to the
+    # declared bounds so spans never exceed what grid_extent covers
+    bounds = (4.0, 4.0, 3.0)
+    cfg = load_config(overrides={"data": {
+        "crop_to_bounds": True, "scene_bounds": list(bounds),
+        "scale_range": [1.0, 1.0], "jitter_sigma": 0.0}})
+    s = synthetic.generate_scene(2, num_points=2000, extent=4.0)
+    found_crop = False
+    for trial in range(8):
+        a = augment_scene(s, cfg.data, rng)
+        v = a["valid"].astype(bool)
+        assert v.any()
+        p = a["points"][v]
+        span = p.max(0) - p.min(0)
+        assert np.all(span <= np.asarray(bounds) + 1e-5), span
+        # invariant vs the uncropped path: cropped rows are a subset of the
+        # original valid rows, labels untouched
+        assert not v[~s["valid"].astype(bool)].any()
+        np.testing.assert_array_equal(a["point_instance"], s["point_instance"])
+        found_crop |= v.sum() < s["valid"].astype(bool).sum()
+    # over 8 random rotations of a bounds-filling scene, at least one must
+    # actually shed corner points (span grows by up to sqrt(2))
+    assert found_crop
+
+
+def test_augment_crop_off_keeps_valid(rng):
+    cfg = load_config(overrides={"data": {
+        "scene_bounds": [4.0, 4.0, 3.0]}})  # crop_to_bounds defaults False
+    s = synthetic.generate_scene(2, num_points=500, extent=4.0)
+    a = augment_scene(s, cfg.data, rng)
+    np.testing.assert_array_equal(a["valid"], s["valid"])
+
+
 def test_pad_scene_subsamples_and_pads():
     pts = np.random.default_rng(0).normal(size=(100, 3)).astype(np.float32)
     feats = np.ones((100, 3), np.float32)
