@@ -118,7 +118,13 @@ def _config2(batch_size: int = 1):
                           # round-4 z-crop A/B — BASELINE.md)
                           "dense_from_scale": 2,
                           "dense_from_scale_train": 3,
-                          "grid_extent": [512, 512, 160]},
+                          "grid_extent": [512, 512, 160],
+                          # occupancy-sized per-scale caps (margin 1.3
+                          # over loader + bench scene maxima — see
+                          # configs/config2_scannet_2cm.yaml note and
+                          # BASELINE.md round-4 capacity table)
+                          "capacities": [262144, 190208, 48384,
+                                          11776, 2944]},
             "rpn": {"hidden": 128, "num_proposals": 128,
                      "pre_nms_topk": 512, "rpn_scales": [0, 1]},
             "roi": {"grid_size": 7, "hidden": 128, "mask_grid": 14},

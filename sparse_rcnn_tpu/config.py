@@ -294,6 +294,24 @@ def _validate(cfg: Config) -> None:
         )
     if cfg.model.rpn.rpn_scale >= len(cfg.model.backbone.widths):
         raise ValueError("rpn.rpn_scale out of range for backbone widths")
+    caps = cfg.model.backbone.capacities
+    if caps is not None:
+        ns = len(cfg.model.backbone.widths)
+        if len(caps) != ns:
+            raise ValueError(
+                f"backbone.capacities has {len(caps)} entries for "
+                f"{ns} scales")
+        if caps[0] != cfg.data.voxel_capacity:
+            # scale 0 rows come straight from voxelize at voxel_capacity;
+            # a different caps[0] would silently mis-account flops/buffers
+            raise ValueError(
+                f"backbone.capacities[0]={caps[0]} must equal "
+                f"data.voxel_capacity={cfg.data.voxel_capacity}")
+        for s, c in enumerate(caps):
+            if c < 128 or c % 128:
+                raise ValueError(
+                    f"backbone.capacities[{s}]={c} must be a positive "
+                    "multiple of 128 (sort/gather tiling)")
     if cfg.model.backbone.downsample not in ("conv", "maxpool", "avgpool"):
         raise ValueError(
             f"backbone.downsample must be conv|maxpool|avgpool, "

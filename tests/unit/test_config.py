@@ -60,3 +60,26 @@ def test_per_mode_dense_from_scale_validation():
     cfg = _cfg(backbone={"dense_from_scale": 2, "dense_from_scale_train": 3,
                          "grid_extent": [512, 512, 256]})
     assert cfg.model.backbone.dense_from_scale_train == 3
+
+
+def test_capacities_validation():
+    # happy path: explicit caps flow through scale_capacities verbatim
+    cfg = _cfg(data={"voxel_capacity": 262144},
+               backbone={"capacities": [262144, 190208, 48384, 11776, 2944]})
+    assert cfg.scale_capacities() == (262144, 190208, 48384, 11776, 2944)
+    # wrong length
+    with pytest.raises(ValueError, match="entries for"):
+        _cfg(data={"voxel_capacity": 262144},
+             backbone={"capacities": [262144, 128]})
+    # caps[0] must equal voxel_capacity (scale-0 rows come from voxelize)
+    with pytest.raises(ValueError, match="voxel_capacity"):
+        _cfg(data={"voxel_capacity": 262144},
+             backbone={"capacities": [131072, 65536, 32768, 16384, 8192]})
+    # non-multiple-of-128
+    with pytest.raises(ValueError, match="multiple of 128"):
+        _cfg(data={"voxel_capacity": 262144},
+             backbone={"capacities": [262144, 100000, 48384, 11776, 2944]})
+    # None still uses the capacity_factor decay
+    cfg = _cfg(data={"voxel_capacity": 8192})
+    assert cfg.scale_capacities()[0] == 8192
+    assert all(c % 128 == 0 for c in cfg.scale_capacities())
