@@ -49,12 +49,12 @@ V5E_BF16_PEAK_FLOPS = 197e12
 # field always says which kind a row is.
 STRESS_CACHED = {
     "config3_s3dis": {
-        "eval_sps": 0.48, "train_sps": 0.158, "mean_voxels": 523034,
-        "source": "cached chiplog 2026-08-17 (pass --stress to re-measure)",
+        "eval_sps": 0.623, "train_sps": 0.192, "mean_voxels": 433267,
+        "source": "cached chiplog 2026-08-19 (pass --stress to re-measure)",
     },
     "config4_kitti": {
-        "eval_sps": 3.43, "train_sps": 1.42, "mean_voxels": 42462,
-        "source": "cached chiplog 2026-08-17 (pass --stress to re-measure)",
+        "eval_sps": 3.388, "train_sps": 1.439, "mean_voxels": 117520,
+        "source": "cached chiplog 2026-08-19 (pass --stress to re-measure)",
     },
 }
 

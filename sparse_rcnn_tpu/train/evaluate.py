@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import time
 from typing import Dict, Optional
 
 import jax
@@ -70,8 +71,10 @@ def run_eval(
     (data/pipeline.py), so without it those duplicates would be counted
     twice (mAP and the scene count both wrong whenever the split size does
     not divide the batch size — e.g. ScanNet val = 312)."""
+    t_pass = time.perf_counter()
     ev = InstanceAPEvaluator(cfg.model.num_classes)
     sem_ev = SemanticMIoUEvaluator(cfg.model.num_classes + 1)
+    out = None  # set by the first scored batch
     step = eval_step or TL.make_eval_step(cfg)
     if num_scenes is None:
         ds = getattr(loader, "dataset", None)
@@ -81,8 +84,20 @@ def run_eval(
         if max_batches is not None and bi >= max_batches:
             break
         out = step(state, batch)
-        out = jax.device_get(out)
-        gt = out["gt"]
+        # Selective fetch: the full [B, P, N] f32 point_mask_logits
+        # (268 MB/batch at the 2cm shape) and the GT struct (unused here —
+        # the evaluator scores against RAW point labels below) stay on
+        # device; the bit-packed masks carry the same booleans 32x
+        # smaller. A blanket device_get(out) was pulling both through the
+        # tunnel anyway and dominated in-training eval wall (~6.5 s/scene
+        # vs ~0.6 s of device compute — BASELINE.md round-4 eval-transfer
+        # note). The logits array stays in the dict as a device array:
+        # the default-threshold path only reads its .shape; a non-default
+        # mask_threshold fetches one scene's slice on demand.
+        dev_logits = out["point_mask_logits"]
+        out = jax.device_get({k: v for k, v in out.items()
+                              if k not in ("point_mask_logits", "gt")})
+        out["point_mask_logits"] = dev_logits
         for b in range(cfg.data.batch_size):
             if num_scenes is not None and bi * cfg.data.batch_size + b >= num_scenes:
                 break  # wrap-pad duplicate (ordered eval pass) — already scored
@@ -122,9 +137,12 @@ def run_eval(
         # `NaN` in the jsonl line — invalid strict JSON)
         res["per_scene_mAP@0.5"] = [
             round(float(x), 4) if np.isfinite(x) else None for x in ps]
-    if "point_semantic_pred" in out:
+    if out is not None and "point_semantic_pred" in out:
         sem = sem_ev.compute()
         res["semantic_mIoU"] = sem["mIoU"]
         res["semantic_acc"] = sem["accuracy"]
     res["scenes"] = seen
+    # eval-pass wall (device + transfer + host scoring): first-class in the
+    # jsonl so eval cost regressions are visible in every quality log
+    res["eval_wall_s"] = round(time.perf_counter() - t_pass, 2)
     return res
