@@ -44,7 +44,8 @@ def main():
     from sparse_rcnn_tpu.data.pipeline import Loader
     from sparse_rcnn_tpu.train import checkpoint as CK
     from sparse_rcnn_tpu.train import loop as TL
-    from sparse_rcnn_tpu.train.evaluate import postprocess_scene
+    from sparse_rcnn_tpu.train.evaluate import (fetch_eval_outputs,
+                                                 postprocess_scene)
 
     cfg = load_config(args.config, parse_overrides(args.overrides))
     os.makedirs(args.out_dir, exist_ok=True)
@@ -67,7 +68,9 @@ def main():
     done = 0
     batch = first
     while done < args.num_scenes:
-        out = jax.device_get(step(state, batch))
+        # selective fetch: masks come from the packed-bits path; the 268MB
+        # f32 logits stay on device (train/evaluate.py helper)
+        out = fetch_eval_outputs(step(state, batch))
         for b in range(cfg.data.batch_size):
             if done >= args.num_scenes:
                 break

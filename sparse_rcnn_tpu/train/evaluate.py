@@ -31,6 +31,24 @@ def _gt_classes_from_points(
     return out
 
 
+def fetch_eval_outputs(out) -> Dict[str, np.ndarray]:
+    """Selectively fetch an eval_step result dict to host.
+
+    The full [B, P, N] f32 point_mask_logits (268 MB/batch at the 2cm
+    shape) and the GT struct stay on device — the bit-packed masks carry
+    the same booleans 32x smaller. A blanket device_get(out) pulls them
+    through the tunnel anyway and dominates eval wall (~6.5 s/scene vs
+    ~0.6 s device compute — BASELINE.md round-4 eval-transfer note). The
+    logits entry stays in the dict as a device array: the
+    default-threshold path reads only its .shape; a non-default
+    mask_threshold fetches one scene's slice on demand."""
+    dev_logits = out["point_mask_logits"]
+    host = jax.device_get({k: v for k, v in out.items()
+                           if k not in ("point_mask_logits", "gt")})
+    host["point_mask_logits"] = dev_logits
+    return host
+
+
 def postprocess_scene(
     out: Dict[str, np.ndarray], b: int, num_classes: int,
     mask_threshold: float = 0.5,
@@ -83,21 +101,9 @@ def run_eval(
     for bi, batch in enumerate(loader):
         if max_batches is not None and bi >= max_batches:
             break
-        out = step(state, batch)
-        # Selective fetch: the full [B, P, N] f32 point_mask_logits
-        # (268 MB/batch at the 2cm shape) and the GT struct (unused here —
-        # the evaluator scores against RAW point labels below) stay on
-        # device; the bit-packed masks carry the same booleans 32x
-        # smaller. A blanket device_get(out) was pulling both through the
-        # tunnel anyway and dominated in-training eval wall (~6.5 s/scene
-        # vs ~0.6 s of device compute — BASELINE.md round-4 eval-transfer
-        # note). The logits array stays in the dict as a device array:
-        # the default-threshold path only reads its .shape; a non-default
-        # mask_threshold fetches one scene's slice on demand.
-        dev_logits = out["point_mask_logits"]
-        out = jax.device_get({k: v for k, v in out.items()
-                              if k not in ("point_mask_logits", "gt")})
-        out["point_mask_logits"] = dev_logits
+        # (gt is unused here — the evaluator scores against RAW point
+        # labels below)
+        out = fetch_eval_outputs(step(state, batch))
         for b in range(cfg.data.batch_size):
             if num_scenes is not None and bi * cfg.data.batch_size + b >= num_scenes:
                 break  # wrap-pad duplicate (ordered eval pass) — already scored
