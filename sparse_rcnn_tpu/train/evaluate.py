@@ -35,17 +35,18 @@ def fetch_eval_outputs(out) -> Dict[str, np.ndarray]:
     """Selectively fetch an eval_step result dict to host.
 
     The full [B, P, N] f32 point_mask_logits (268 MB/batch at the 2cm
-    shape) and the GT struct stay on device — the bit-packed masks carry
+    shape) and the GT struct are NOT fetched — the bit-packed masks carry
     the same booleans 32x smaller. A blanket device_get(out) pulls them
     through the tunnel anyway and dominates eval wall (~6.5 s/scene vs
     ~0.6 s device compute — BASELINE.md round-4 eval-transfer note). The
-    logits entry stays in the dict as a device array: the
-    default-threshold path reads only its .shape; a non-default
-    mask_threshold fetches one scene's slice on demand."""
-    dev_logits = out["point_mask_logits"]
+    logits array is dropped entirely (holding its device buffer across
+    the next step would add a full logits allocation to eval peak HBM);
+    only its point-count is kept for the bit-unpack slice. Callers that
+    need a non-default mask_threshold must postprocess the raw step
+    output instead of this helper's result."""
     host = jax.device_get({k: v for k, v in out.items()
                            if k not in ("point_mask_logits", "gt")})
-    host["point_mask_logits"] = dev_logits
+    host["point_mask_n"] = int(out["point_mask_logits"].shape[-1])
     return host
 
 
@@ -64,7 +65,9 @@ def postprocess_scene(
     scores = fg_prob.max(-1) * obj
     if mask_threshold == 0.5 and "point_mask_bits" in out:
         # device-thresholded bit-packed path: never pull the f32 logits
-        n = out["point_mask_logits"].shape[-1]
+        # (fetch_eval_outputs drops them and records only the point count)
+        n = (out["point_mask_n"] if "point_mask_n" in out
+             else out["point_mask_logits"].shape[-1])
         masks = np.unpackbits(
             np.asarray(out["point_mask_bits"][b]), axis=-1)[:, :n] > 0
     else:
@@ -149,6 +152,8 @@ def run_eval(
         res["semantic_acc"] = sem["accuracy"]
     res["scenes"] = seen
     # eval-pass wall (device + transfer + host scoring): first-class in the
-    # jsonl so eval cost regressions are visible in every quality log
+    # jsonl so eval cost regressions are visible in every quality log.
+    # NOTE: the FIRST pass of a process includes the eval step's jit
+    # trace+compile (minutes through the tunnel); compare steady points.
     res["eval_wall_s"] = round(time.perf_counter() - t_pass, 2)
     return res
