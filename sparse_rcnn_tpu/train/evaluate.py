@@ -101,12 +101,20 @@ def run_eval(
         ds = getattr(loader, "dataset", None)
         num_scenes = len(ds) if ds is not None else None
     seen = 0
+    t_dev = t_fetch = t_host = 0.0
     for bi, batch in enumerate(loader):
         if max_batches is not None and bi >= max_batches:
             break
         # (gt is unused here — the evaluator scores against RAW point
         # labels below)
-        out = fetch_eval_outputs(step(state, batch))
+        t0 = time.perf_counter()
+        raw = step(state, batch)
+        jax.block_until_ready(raw["proposal_scores"])  # device compute done
+        t1 = time.perf_counter()
+        out = fetch_eval_outputs(raw)
+        t2 = time.perf_counter()
+        t_dev += t1 - t0
+        t_fetch += t2 - t1
         for b in range(cfg.data.batch_size):
             if num_scenes is not None and bi * cfg.data.batch_size + b >= num_scenes:
                 break  # wrap-pad duplicate (ordered eval pass) — already scored
@@ -131,6 +139,7 @@ def run_eval(
                     np.asarray(batch["point_semantic"][b])[point_valid],
                 )
             seen += 1
+        t_host += time.perf_counter() - t2
     res = ev.compute(per_class=per_class)
     if per_scene:
         # scene-level mAP@0.5 spread: the error bar on the split number
@@ -151,9 +160,14 @@ def run_eval(
         res["semantic_mIoU"] = sem["mIoU"]
         res["semantic_acc"] = sem["accuracy"]
     res["scenes"] = seen
-    # eval-pass wall (device + transfer + host scoring): first-class in the
-    # jsonl so eval cost regressions are visible in every quality log.
+    # eval-pass wall + its split (device compute / host transfer / host
+    # scoring): first-class in the jsonl so eval cost regressions are
+    # visible — and attributable — in every quality log.
     # NOTE: the FIRST pass of a process includes the eval step's jit
-    # trace+compile (minutes through the tunnel); compare steady points.
+    # trace+compile (minutes through the tunnel) in eval_dev_s; compare
+    # steady points.
     res["eval_wall_s"] = round(time.perf_counter() - t_pass, 2)
+    res["eval_dev_s"] = round(t_dev, 2)
+    res["eval_fetch_s"] = round(t_fetch, 2)
+    res["eval_host_s"] = round(t_host, 2)
     return res
