@@ -8,6 +8,7 @@
     the batch size.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,3 +77,29 @@ def test_eval_scores_each_scene_exactly_once_with_wrap_pad():
     # without the split size, the duplicate is (wrongly) scored again
     res_dup = E.run_eval(cfg, state, batches)
     assert res_dup["scenes"] == n + 1
+
+
+def test_fetch_eval_outputs_is_selective_and_exact():
+    """(c) Eval transfer contract (BASELINE round-4 eval-transfer note):
+    fetch_eval_outputs must NOT materialize the [B, P, N] f32 mask logits
+    or the GT struct on host, must record the point count for the
+    bit-unpack slice, and the bit-path masks must equal logits > 0."""
+    cfg = _cfg([256, 256, 256])
+    batch = _batch(cfg, 0)
+    state = TL.init_state(cfg, batch)
+    step = TL.make_eval_step(cfg)
+    raw = step(state, batch)
+    out = E.fetch_eval_outputs(raw)
+    assert "point_mask_logits" not in out and "gt" not in out
+    assert out["point_mask_n"] == raw["point_mask_logits"].shape[-1]
+    for k, v in out.items():
+        if k != "point_mask_n":
+            assert isinstance(v, np.ndarray), (k, type(v))
+    for b in range(cfg.data.batch_size):
+        masks, _, _, _ = E.postprocess_scene(out, b, cfg.model.num_classes)
+        ref = np.asarray(raw["point_mask_logits"][b]) > 0.0
+        np.testing.assert_array_equal(masks, ref)
+    # non-default threshold path still works from the RAW step output
+    masks2, _, _, _ = E.postprocess_scene(
+        jax.device_get(raw), 0, cfg.model.num_classes, mask_threshold=0.9)
+    assert masks2.sum() <= (np.asarray(raw["point_mask_logits"][0]) > 0).sum()
