@@ -7,6 +7,8 @@
 
 import argparse
 import ast
+import atexit
+import os
 
 import jax
 
@@ -54,6 +56,32 @@ def main():
     from sparse_rcnn_tpu.utils.profiling import StepTimer, maybe_trace
 
     cfg = load_config(args.config, parse_overrides(args.overrides))
+
+    # Refuse to share a checkpoint_dir with a LIVE trainer: two processes
+    # writing the same orbax dir + best-score sidecar interleave silently
+    # (near-identical twins even look healthy in the shared jsonl — it
+    # happened; see BASELINE.md round-4 run-hygiene caveat). A stale
+    # pidfile from a crashed/killed run is reclaimed automatically.
+    os.makedirs(cfg.train.checkpoint_dir, exist_ok=True)
+    pidfile = os.path.join(cfg.train.checkpoint_dir, "trainer.pid")
+    if os.path.exists(pidfile):
+        try:
+            other = int(open(pidfile).read().strip())
+            os.kill(other, 0)  # raises if not running
+            raise SystemExit(
+                f"checkpoint_dir {cfg.train.checkpoint_dir!r} is in use by "
+                f"live trainer pid {other} ({pidfile}); pick another dir or "
+                "stop that run first")
+        except (ValueError, ProcessLookupError):
+            pass  # stale or unreadable — reclaim
+        except PermissionError:
+            raise SystemExit(
+                f"checkpoint_dir {cfg.train.checkpoint_dir!r} is in use by "
+                f"a live trainer we cannot signal ({pidfile})")
+    with open(pidfile, "w") as f:
+        f.write(str(os.getpid()))
+    atexit.register(lambda: os.path.exists(pidfile) and os.remove(pidfile))
+
     log = JsonlLogger(args.log_file, tb_dir=args.tensorboard)
     log.log("config", name=cfg.name, devices=len(jax.devices()))
 
