@@ -98,3 +98,29 @@ def test_dp_step_with_ema_matches_single_device(batch):
                     jax.tree_util.tree_leaves(s_par.ema_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_dp_eval_matches_single_device(cfg, batch):
+    """The parallel EVAL step (the path quality numbers are quoted on) must
+    produce the SAME per-scene outputs as the single-device step: the
+    device-thresholded bit-packed masks bit-for-bit, scores/logits to fp
+    tolerance (VERDICT r4 item 1 — this path had zero coverage)."""
+    from sparse_rcnn_tpu.parallel import make_parallel_eval_step
+
+    state = TL.init_state(cfg, batch)
+    ref = TL.make_eval_step(cfg)(state, batch)
+
+    mesh = make_mesh()
+    pstate = replicate_state(state, mesh)
+    pbatch = shard_batch(batch, mesh)
+    par = make_parallel_eval_step(cfg, mesh)(pstate, pbatch)
+
+    np.testing.assert_array_equal(
+        np.asarray(ref["point_mask_bits"]), np.asarray(par["point_mask_bits"]))
+    for key in ("proposal_scores", "cls_logits"):
+        np.testing.assert_allclose(
+            np.asarray(ref[key]), np.asarray(par[key]), rtol=1e-5, atol=1e-6)
+    if "point_semantic_pred" in ref:
+        np.testing.assert_array_equal(
+            np.asarray(ref["point_semantic_pred"]),
+            np.asarray(par["point_semantic_pred"]))
